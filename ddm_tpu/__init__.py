@@ -1,0 +1,76 @@
+"""ddm_tpu — a TPU-native (JAX / Flax / pjit / Pallas) framework implementing
+Distributional Diffusion Models with Scoring Rules (De Bortoli et al., 2025).
+
+Capability-parity rebuild of the reference PyTorch repo ``edluyuan/ddm``
+(``/root/reference``), re-designed TPU-first: pure-functional math core,
+jit-compiled training steps with fused on-device data generation, a
+``lax.scan`` reverse sampler, Pallas kernels for the hot paths, and
+``jax.sharding``-based data/tensor parallelism over TPU meshes.
+
+The public surface mirrors the reference's curated ``__all__``
+(``/root/reference/dddm/__init__.py:1-37``) so reference users find every
+symbol they expect, plus the TPU-native additions (mesh/parallel utilities,
+checkpoint resume, profiling).
+"""
+
+from .training import (
+    TrainConfig,
+    TrainState,
+    distributional_training_step,
+    make_loss_fn,
+    make_train_step,
+    train_dddm,
+)
+from .sampling import sample_dddm, sample_dddm_batched
+from .data.gmm import GMM, GMM2D, sample_gmm
+from .data.cifar10 import CIFAR10DataConfig, build_cifar10_dataloaders
+from .metrics import (
+    KernelMMDLoss,
+    MMD_loss,
+    compute_activation_statistics,
+    compute_fid,
+    compute_image_mmd,
+    frechet_distance,
+    rbf_mmd2,
+)
+from .utils.plotting import plot_training_curves, save_image_grid, save_scatter
+from .models.mlp import DDDMMLP
+from .models.dit import DDDMDiT
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "TrainConfig",
+    "TrainState",
+    "train_dddm",
+    "distributional_training_step",
+    "make_loss_fn",
+    "make_train_step",
+    "sample_dddm",
+    "sample_dddm_batched",
+    "sample_gmm",
+    "CIFAR10DataConfig",
+    "build_cifar10_dataloaders",
+    "GMM2D",
+    "GMM",
+    "rbf_mmd2",
+    "KernelMMDLoss",
+    "MMD_loss",
+    "compute_activation_statistics",
+    "compute_fid",
+    "compute_image_mmd",
+    "frechet_distance",
+    "save_scatter",
+    "save_image_grid",
+    "plot_training_curves",
+    "DDDMMLP",
+    "DDDMDiT",
+]
+
+
+def __getattr__(name):  # lazy import of the heavy Inception embedder
+    if name == "InceptionEmbedding":
+        from .models.inception import InceptionEmbedding
+
+        return InceptionEmbedding
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

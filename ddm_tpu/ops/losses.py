@@ -1,0 +1,130 @@
+"""Generalized energy-score loss terms for DDDM (pure jnp).
+
+TPU-native re-implementation of ``/root/reference/dddm/losses.py:5-35``:
+the conditional generalized energy score of the paper (eqs. (12)-(14)) split
+into its *confinement* term ``E ||x0 - x0_hat||^beta`` and *interaction* term
+``E ||x0_hat_i - x0_hat_j||^beta`` (off-diagonal pairs only), plus the
+logistic time weight ``w(t)``.
+
+Design notes (TPU-first):
+  * Pairwise squared distances are computed from DIRECT differences, not the
+    Gram expansion ``||a||^2 + ||b||^2 - 2 a.b``. This is load-bearing for
+    correctness, established empirically during the build: with small beta
+    (default 0.1) the interaction gradient carries a ``(pd2)^(beta/2 - 1)``
+    factor that is convex and steeply decreasing in ``pd2``, so the Gram
+    form's fp32 cancellation noise (absolute error ~ eps * ||x||^2, enormous
+    relative error for close pairs) biases the repulsive force upward —
+    underestimated distances amplify far more than overestimates attenuate —
+    and training slowly diverges (prediction RMS ran away ~3 -> 3e5 over 3k
+    toy steps; the direct form matches the torch reference exactly). The
+    Gram trick remains fine for *value-only* kernels (see metrics.py) and is
+    exported as :func:`pairwise_sqdist_gram`.
+  * The diagonal is removed with a static mask (no boolean gather, which XLA
+    cannot tile); the mean over ``B * m * (m-1)`` off-diagonal entries is an
+    exact rewrite of the reference's masked ``.view(B, m, m-1).mean()``.
+  * Reductions are done in float32 regardless of compute dtype, so bf16
+    forward passes don't lose the 1e-12 stabiliser.
+  * The direct form materialises a ``(B, m, m, D)`` tensor; for image-sized
+    D the fused Pallas energy kernel (``ddm_tpu.ops.energy``) streams pair
+    tiles through VMEM instead.
+
+``beta == 2.0`` keeps the reference's fast path (no fractional power).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .schedules import alpha_sigma
+
+__all__ = [
+    "generalized_energy_terms",
+    "pairwise_sqdist",
+    "pairwise_sqdist_gram",
+    "sigmoid_weight",
+]
+
+_STAB_EPS = 1e-12  # fractional-power stabiliser, matches reference losses.py:14,24
+
+
+def pairwise_sqdist(x: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs squared distances of ``x: (B, m, D)`` -> ``(B, m, m)``.
+
+    Direct-difference form (exact; no cancellation). Required on the loss
+    path — see the module docstring for why the Gram form diverges under
+    fractional beta.
+    """
+    diff = x[:, :, None, :] - x[:, None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
+
+
+def pairwise_sqdist_gram(x: jnp.ndarray) -> jnp.ndarray:
+    """Gram-expansion pairwise squared distances (value-only use).
+
+    One batched MXU matmul + broadcasts; O(m) less memory than the direct
+    form but carries ~eps * ||x||^2 absolute cancellation noise. Safe for
+    kernel *values* (e.g. MMD with O(1) bandwidths), NOT for gradients of
+    fractional powers.
+    """
+    sq = jnp.sum(x * x, axis=-1)  # (B, m)
+    gram = jnp.einsum("bmd,bnd->bmn", x, x, preferred_element_type=jnp.float32)
+    d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
+    return jnp.clip(d2, min=0.0)
+
+
+def generalized_energy_terms(
+    x0hats: jnp.ndarray,
+    x0: jnp.ndarray,
+    beta: float,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Confinement and interaction terms of the energy score (paper eq. (12)).
+
+    Args:
+        x0hats: m denoiser predictions per element, shape ``(B, m, D)``
+            (pre-flattened, as in the reference contract).
+        x0: clean data, shape ``(B, D)``.
+        beta: norm exponent (the power applied to the *norm*, i.e. beta/2 on
+            squared distances). ``beta == 2`` takes the exact fast path.
+
+    Returns:
+        ``(conf, inter)`` float32 scalars:
+        ``conf = mean_{b,i} ||x0_b - x0hat_{b,i}||^beta``,
+        ``inter = mean_{b, i != j} ||x0hat_{b,i} - x0hat_{b,j}||^beta``.
+
+    Reference parity: ``/root/reference/dddm/losses.py:5-25`` (including the
+    1e-12 stabiliser inside the fractional power).
+    """
+    x0hats = jnp.asarray(x0hats)
+    B, m, _ = x0hats.shape
+    f32 = jnp.float32
+
+    diff = x0[:, None, :].astype(f32) - x0hats.astype(f32)
+    d2_conf = jnp.sum(diff * diff, axis=-1)  # (B, m)
+    if beta == 2.0:
+        conf = jnp.mean(d2_conf)
+    else:
+        conf = jnp.mean(jnp.power(d2_conf + _STAB_EPS, beta / 2.0))
+
+    pd2 = pairwise_sqdist(x0hats.astype(f32))  # (B, m, m)
+    if beta == 2.0:
+        powed = pd2
+    else:
+        powed = jnp.power(pd2 + _STAB_EPS, beta / 2.0)
+    offdiag = 1.0 - jnp.eye(m, dtype=f32)
+    inter = jnp.sum(powed * offdiag) / (B * m * (m - 1))
+    return conf, inter
+
+
+def sigmoid_weight(t: jnp.ndarray, bias: float = 0.0) -> jnp.ndarray:
+    """Logistic time weight ``w(t) = sigmoid(log(alpha^2 / sigma^2) - bias)``.
+
+    Reference parity: ``/root/reference/dddm/losses.py:28-35`` (paper
+    eq. (14)), including both 1e-12 guards.
+    """
+    a, s = alpha_sigma(jnp.asarray(t))
+    ratio = (a * a) / (s * s + _STAB_EPS)
+    z = jnp.log(ratio + _STAB_EPS)
+    return jax.nn.sigmoid(z - bias)

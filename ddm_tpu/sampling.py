@@ -1,0 +1,136 @@
+"""Reverse-time DDDM sampler (paper Algorithm 2) as a single ``lax.scan``.
+
+TPU-native re-implementation of ``/root/reference/dddm/sampling.py:8-32``:
+a uniform grid ``t_0 = 0 < ... < t_N = 1``; starting from ``x ~ N(0, I)``,
+each reverse step draws a fresh latent ``xi``, queries the stochastic
+denoiser ``x_hat_0 = model(x, t, xi)``, computes the Gaussian-bridge
+transition parameters, and resamples ``x = mu + std * z``.
+
+Behavioural parity notes:
+  * The bridge is called as ``gaussian_bridge_mu_sigma(s, t, x0=x_hat_0,
+    xt=x, ...)`` — the *prediction* fills the ``x0`` slot (the reference's
+    argument-order contract at ``sampling.py:29``).
+  * Default ``eps_churn = 1.0`` (the reference sampler default;
+    ``sampling.py:13``) even though the paper config uses 0.0.
+
+TPU-first design: the whole reverse loop compiles into ONE XLA program — a
+``lax.scan`` over the step index with the PRNG key threaded through the
+carry. All 20 (or N) denoiser calls, bridge updates, and normal draws fuse;
+there is zero host round-tripping between steps. For very large sample
+counts, :func:`sample_dddm_batched` shards the work into fixed-size chunks
+so each chunk reuses one compiled program and HBM stays bounded.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops.schedules import gaussian_bridge_mu_sigma
+
+__all__ = ["sample_dddm", "sample_dddm_batched"]
+
+ApplyFn = Callable[..., jnp.ndarray]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("apply_fn", "n_samples", "steps", "eps_churn", "data_shape", "dtype"),
+)
+def sample_dddm(
+    apply_fn: ApplyFn,
+    params: Any,
+    key: jax.Array,
+    n_samples: int = 4096,
+    steps: int = 20,
+    eps_churn: float = 1.0,
+    data_shape: Optional[Tuple[int, ...]] = None,
+    dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Draw ``n_samples`` via Algorithm 2 with a ``steps``-step reverse grid.
+
+    Args:
+        apply_fn: denoiser apply function honouring the framework contract
+            ``apply_fn(params, xt, t, xi) -> x0_hat``.
+        params: denoiser parameters (pytree).
+        key: PRNG key; consumed functionally (reference uses global torch RNG,
+            ``sampling.py:23-30``).
+        n_samples: number of samples ``B``.
+        steps: number of reverse steps ``N``.
+        eps_churn: churn coefficient passed to the bridge.
+        data_shape: per-sample shape; defaults to ``(2,)`` (toy data), matching
+            ``sampling.py:21-22``.
+        dtype: dtype of the sampling state.
+
+    Returns:
+        Samples of shape ``(n_samples, *data_shape)``.
+    """
+    if data_shape is None:
+        data_shape = (2,)
+    B = n_samples
+    t_grid = jnp.linspace(0.0, 1.0, steps + 1, dtype=dtype)
+
+    key, kx = jax.random.split(key)
+    x0_init = jax.random.normal(kx, (B,) + tuple(data_shape), dtype=dtype)
+
+    def body(carry, k):
+        x, key = carry
+        s = t_grid[k]
+        t = t_grid[k + 1]
+        key, kxi, kz = jax.random.split(key, 3)
+        xi = jax.random.normal(kxi, x.shape, dtype=dtype)
+        xhat0 = apply_fn(params, x, jnp.full((B,), t, dtype=dtype), xi)
+        mu, std = gaussian_bridge_mu_sigma(s, t, xhat0, x, eps_churn=eps_churn)
+        z = jax.random.normal(kz, x.shape, dtype=dtype)
+        return (mu + std * z, key), None
+
+    ks = jnp.arange(steps - 1, -1, -1)
+    (x, _), _ = jax.lax.scan(body, (x0_init, key), ks)
+    return x
+
+
+def sample_dddm_batched(
+    apply_fn: ApplyFn,
+    params: Any,
+    key: jax.Array,
+    n_samples: int,
+    *,
+    steps: int = 20,
+    eps_churn: float = 1.0,
+    data_shape: Optional[Tuple[int, ...]] = None,
+    dtype: jnp.dtype = jnp.float32,
+    chunk_size: int = 2048,
+) -> jnp.ndarray:
+    """Chunked sampling for large ``n_samples`` (e.g. 50k FID samples).
+
+    Each chunk reuses a single compiled ``sample_dddm`` program; the final
+    ragged chunk is padded up to ``chunk_size`` and trimmed so only one
+    compilation ever happens. Results are gathered to host as numpy to keep
+    HBM bounded.
+    """
+    import numpy as np
+
+    if data_shape is None:
+        data_shape = (2,)
+    chunk_size = min(chunk_size, n_samples)
+    out = []
+    produced = 0
+    while produced < n_samples:
+        key, sub = jax.random.split(key)
+        x = sample_dddm(
+            apply_fn,
+            params,
+            sub,
+            n_samples=chunk_size,
+            steps=steps,
+            eps_churn=eps_churn,
+            data_shape=tuple(data_shape),
+            dtype=dtype,
+        )
+        take = min(chunk_size, n_samples - produced)
+        out.append(np.asarray(jax.device_get(x))[:take])
+        produced += take
+    return jnp.asarray(np.concatenate(out, axis=0))

@@ -1,0 +1,95 @@
+"""Golden tests for the generalized energy-score terms and time weight.
+
+Oracles are independent numpy transcriptions of the loss definitions in
+SURVEY §2 row 2 (confinement / interaction terms with the beta/2 power on
+squared distances and off-diagonal masking; logistic w(t))."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddm_tpu.ops.losses import (
+    generalized_energy_terms,
+    pairwise_sqdist,
+    sigmoid_weight,
+)
+
+
+def np_energy_terms(x0hats, x0, beta):
+    B, m, D = x0hats.shape
+    diff = x0[:, None, :] - x0hats
+    d2 = (diff**2).sum(-1)
+    conf = d2.mean() if beta == 2.0 else ((d2 + 1e-12) ** (beta / 2)).mean()
+    pd2 = ((x0hats[:, :, None, :] - x0hats[:, None, :, :]) ** 2).sum(-1)
+    mask = ~np.eye(m, dtype=bool)
+    vals = pd2[:, mask]  # (B, m*(m-1))
+    inter = vals.mean() if beta == 2.0 else ((vals + 1e-12) ** (beta / 2)).mean()
+    return conf, inter
+
+
+def test_pairwise_sqdist_matches_direct():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, 5, 7)).astype(np.float32)
+    got = pairwise_sqdist(jnp.asarray(x))
+    want = ((x[:, :, None, :] - x[:, None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("beta", [0.1, 1.0, 2.0])
+def test_energy_terms_match_numpy_oracle(beta):
+    rng = np.random.default_rng(1)
+    B, m, D = 4, 8, 6
+    x0hats = rng.normal(size=(B, m, D)).astype(np.float32)
+    x0 = rng.normal(size=(B, D)).astype(np.float32)
+    conf, inter = generalized_energy_terms(jnp.asarray(x0hats), jnp.asarray(x0), beta)
+    conf_np, inter_np = np_energy_terms(x0hats, x0, beta)
+    np.testing.assert_allclose(float(conf), conf_np, rtol=1e-5)
+    np.testing.assert_allclose(float(inter), inter_np, rtol=1e-5)
+
+
+def test_energy_terms_beta2_fast_path_consistency():
+    """beta=2 fast path equals the generic path evaluated at beta=2."""
+    rng = np.random.default_rng(2)
+    x0hats = jnp.asarray(rng.normal(size=(2, 4, 3)).astype(np.float32))
+    x0 = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+    conf_fast, inter_fast = generalized_energy_terms(x0hats, x0, 2.0)
+    conf_gen, inter_gen = generalized_energy_terms(x0hats, x0, 2.0 + 1e-12)
+    np.testing.assert_allclose(float(conf_fast), float(conf_gen), rtol=1e-4)
+    np.testing.assert_allclose(float(inter_fast), float(inter_gen), rtol=1e-4)
+
+
+def test_interaction_excludes_diagonal():
+    """Identical predictions -> interaction exactly stabiliser^(beta/2)."""
+    x0hats = jnp.ones((2, 4, 3))
+    x0 = jnp.zeros((2, 3))
+    _, inter = generalized_energy_terms(x0hats, x0, 0.5)
+    np.testing.assert_allclose(float(inter), (1e-12) ** 0.25, rtol=1e-3)
+
+
+def test_sigmoid_weight_matches_formula():
+    t = np.array([0.1, 0.5, 0.9], dtype=np.float32)
+    a, s = 1 - t, t
+    z = np.log((a * a) / (s * s + 1e-12) + 1e-12)
+    for bias in (0.0, 1.5):
+        want = 1 / (1 + np.exp(-(z - bias)))
+        got = sigmoid_weight(jnp.asarray(t), bias=bias)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_pairwise_sqdist_exact_for_close_pairs_with_large_norms():
+    """Regression: the loss-path pairwise distance must be cancellation-free.
+
+    The Gram expansion loses ~eps * ||x||^2 absolute accuracy, which biases
+    the fractional-power interaction gradient and (empirically) diverges
+    training at beta = 0.1. Direct differences are exact at any offset.
+    """
+    base = np.full((1, 1, 4), 100.0, dtype=np.float32)
+    delta = 1.0 / 128.0  # exactly representable offset at this magnitude
+    x = np.concatenate([base, base + delta], axis=1)
+    got = pairwise_sqdist(jnp.asarray(x))
+    want = 4 * delta**2  # 4 coords, each delta apart
+    np.testing.assert_allclose(float(got[0, 0, 1]), want, rtol=1e-6)
+
+
+def test_sigmoid_weight_midpoint_half():
+    np.testing.assert_allclose(float(sigmoid_weight(jnp.asarray(0.5))), 0.5, atol=1e-5)
