@@ -85,8 +85,11 @@ class MultiheadSelfAttention(nn.Module):
         B, N, C = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, Dh)
+        # Head-major layout (H, 3, Dh): sharding the fused feature axis over a
+        # 'model' mesh axis then splits whole heads (H % tp == 0), which keeps
+        # tensor parallelism collective-free through the attention body.
+        qkv = qkv.reshape(B, N, self.num_heads, 3, head_dim)
+        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # (B, N, H, Dh)
 
         impl = self.attention_impl
         if impl == "auto":

@@ -1,0 +1,34 @@
+"""Mesh/sharding layer: data- and tensor-parallel training over TPU ICI."""
+
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+from .sharding import (
+    DIT_TP_RULES,
+    REPLICATED_RULES,
+    spec_for_path,
+    train_state_shardings,
+    tree_shardings,
+)
+from .data_parallel import make_sharded_train_step, place_train_state
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "replicated",
+    "batch_sharding",
+    "shard_batch",
+    "DIT_TP_RULES",
+    "REPLICATED_RULES",
+    "spec_for_path",
+    "tree_shardings",
+    "train_state_shardings",
+    "make_sharded_train_step",
+    "place_train_state",
+]

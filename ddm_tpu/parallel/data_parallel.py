@@ -1,0 +1,94 @@
+"""Sharded training-step factory: DP over the batch, optional TP over params.
+
+The TPU-native equivalent of the distributed trainer the reference never had
+(SURVEY §5.8): one jitted step whose inputs carry ``NamedSharding``s — the
+global batch split over the ``data`` mesh axis, parameters replicated (pure
+DP) or sharded by the Megatron-style rules in
+:mod:`ddm_tpu.parallel.sharding` (DP+TP). Gradient allreduce, TP activation
+psums, and any resharding are inserted by XLA's SPMD partitioner; there are
+no explicit collectives in this file, by design.
+
+The step donates the incoming TrainState, so parameters and optimizer
+moments update in place in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..training import TrainState, make_loss_fn
+from .mesh import DATA_AXIS
+from .sharding import REPLICATED_RULES, train_state_shardings
+
+__all__ = ["make_sharded_train_step", "place_train_state"]
+
+PreprocessFn = Callable[[jax.Array, jnp.ndarray], jnp.ndarray]
+
+
+def place_train_state(
+    state: TrainState, mesh: Mesh, rules: Sequence[Tuple[str, P]] = REPLICATED_RULES
+) -> Tuple[TrainState, Any]:
+    """Place a host-built TrainState onto the mesh per the rule table.
+
+    Returns ``(placed_state, state_shardings)``; the shardings tree is what
+    the jitted step uses for its donated input/output.
+    """
+    shardings = train_state_shardings(state, mesh, rules)
+    placed = jax.tree.map(
+        lambda x, s: jax.device_put(x, s), state, shardings,
+        is_leaf=lambda x: x is None,
+    )
+    return placed, shardings
+
+
+def make_sharded_train_step(
+    apply_fn: Callable[..., jnp.ndarray],
+    mesh: Mesh,
+    state_shardings: Any,
+    *,
+    m: int,
+    beta: float,
+    lam: float,
+    w_bias: float,
+    preprocess: Optional[PreprocessFn] = None,
+):
+    """Build a jitted ``(state, key, batch) -> (state, metrics)`` step.
+
+    Args:
+        apply_fn: denoiser apply fn (framework contract).
+        mesh: the device mesh (axes ``data`` / ``model``).
+        state_shardings: shardings tree from :func:`place_train_state`.
+        m/beta/lam/w_bias: energy-score hyperparameters.
+        preprocess: optional on-device ``(key, raw_batch) -> x0`` hook (e.g.
+            uint8 -> augment -> normalize); runs inside the compiled step so
+            augmentation fuses with the forward pass.
+
+    The raw batch is expected sharded over ``data`` on its leading axis; the
+    returned metrics are fully-reduced replicated scalars.
+    """
+    loss_fn = make_loss_fn(apply_fn, m=m, beta=beta, lam=lam, w_bias=w_bias)
+    batch_spec = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def step(state: TrainState, key: jax.Array, batch: jnp.ndarray):
+        if preprocess is not None:
+            kpre, key = jax.random.split(key)
+            x0 = preprocess(kpre, batch)
+        else:
+            x0 = batch
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, key, x0
+        )
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, metrics
+
+    return jax.jit(
+        step,
+        in_shardings=(state_shardings, repl, batch_spec),
+        out_shardings=(state_shardings, repl),
+        donate_argnums=(0,),
+    )

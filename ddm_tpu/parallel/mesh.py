@@ -1,0 +1,83 @@
+"""Device-mesh construction and placement helpers.
+
+The reference has no distributed layer at all (SURVEY §2, parallelism
+statement: no torch.distributed / NCCL / process groups anywhere); this
+module is the TPU-native capability addition mandated by the north star:
+parallelism is expressed as a ``jax.sharding.Mesh`` plus ``NamedSharding``
+annotations, and XLA's SPMD partitioner inserts the ICI collectives
+(allreduce for data-parallel gradients, allgather/reduce-scatter around
+tensor-parallel matmuls). There is no custom transport layer to write —
+XLA's collective lowering IS the backend (SURVEY §5.8).
+
+Axis convention (framework-wide):
+  * ``"data"``  — data parallelism; the global batch is sharded over it.
+  * ``"model"`` — tensor parallelism; attention heads and MLP hidden units
+    are sharded over it (see ``ddm_tpu.parallel.sharding``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "make_mesh",
+    "replicated",
+    "batch_sharding",
+    "shard_batch",
+]
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    dp: Optional[int] = None,
+    tp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 2-D ``(data, model)`` mesh over the available devices.
+
+    Args:
+        dp: data-parallel degree; defaults to ``n_devices // tp``.
+        tp: tensor-parallel degree (1 = pure data parallelism).
+        devices: explicit device list (defaults to ``jax.devices()``).
+
+    The device order is left as given so on real TPU slices the trailing
+    (fastest-varying) ``model`` axis maps to nearest-neighbour ICI links,
+    which carry the latency-sensitive tensor-parallel collectives.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dp is None:
+        if n % tp != 0:
+            raise ValueError(f"{n} devices not divisible by tp={tp}")
+        dp = n // tp
+    if dp * tp != n:
+        raise ValueError(f"dp*tp = {dp * tp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding on ``mesh``."""
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch on the mesh, sharded over the data axis."""
+    import jax.numpy as jnp
+
+    arr = jnp.asarray(batch)
+    return jax.device_put(arr, batch_sharding(mesh, arr.ndim))

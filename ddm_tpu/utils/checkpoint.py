@@ -46,7 +46,7 @@ def _to_host(tree: Any) -> Any:
 def save_checkpoint(path: str, params: Any, config: Optional[Dict] = None) -> str:
     """Write ``{"params": ..., "config": ...}`` (reference payload parity)."""
     payload = {
-        "params": _to_host(params),
+        "params": serialization.to_state_dict(_to_host(params)),
         "config_json": json.dumps(config or {}, default=str),
     }
     data = serialization.msgpack_serialize(payload)
@@ -72,8 +72,10 @@ def save_train_state(path: str, state: Any, config: Optional[Dict] = None) -> st
     """Full-state checkpoint (params + opt state + step) for exact resume."""
     payload = {
         "step": int(state.step),
-        "params": _to_host(state.params),
-        "opt_state": _to_host(state.opt_state),
+        "params": serialization.to_state_dict(_to_host(state.params)),
+        # to_state_dict flattens optax's (named)tuple states into nested
+        # dicts, which is what msgpack can carry
+        "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
         "config_json": json.dumps(config or {}, default=str),
     }
     data = serialization.msgpack_serialize(payload)

@@ -3,7 +3,7 @@ set -euo pipefail
 
 SCRIPT_DIR=$(cd "$(dirname "${BASH_SOURCE[0]}")" && pwd)
 PROJECT_ROOT=$(cd "${SCRIPT_DIR}/.." && pwd)
-DEFAULT_CONFIG="${PROJECT_ROOT}/configs/toy_gmm.yaml"
+DEFAULT_CONFIG="${PROJECT_ROOT}/configs/cifar10_dit.yaml"
 
 CONFIG_PATH="${DEFAULT_CONFIG}"
 if [[ $# -gt 0 && "${1}" != -* ]]; then
@@ -11,4 +11,4 @@ if [[ $# -gt 0 && "${1}" != -* ]]; then
   shift
 fi
 
-python "${PROJECT_ROOT}/run_example.py" --config "${CONFIG_PATH}" "$@"
+python "${PROJECT_ROOT}/train_cifar10_dit.py" --config "${CONFIG_PATH}" "$@"

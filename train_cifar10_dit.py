@@ -1,0 +1,422 @@
+"""Train a DiT-backed Distributional Diffusion Model on CIFAR-10 (TPU-native).
+
+Re-implementation of ``/root/reference/train_cifar10_dit.py`` with the same
+CLI surface (flags, YAML fill-only-defaults merge, validation), training
+semantics (AdamW + global-norm grad clipping, the shared
+``distributional_training_step``, per-step/per-epoch/eval histories), and
+artifacts (epoch checkpoints + ``model_final``, ``config.json``,
+``samples.png`` grid, three JSON+PNG dynamics pairs, W&B namespaces
+``train/ epoch/ eval/ plots/``).
+
+TPU-first architecture (differences are performance-bearing, not
+behavioural):
+  * ONE compiled XLA program per step: uint8 batch -> on-device reflect-pad
+    crop/flip augmentation -> [-1,1] normalize -> m-expanded DiT
+    forward/backward -> clipped AdamW update, with the TrainState donated.
+  * bfloat16 compute (fp32 params/reductions) by default: ``--dtype``.
+  * data parallelism over all local devices via a ``jax.sharding.Mesh``;
+    optional tensor parallelism with ``--tp N`` (Megatron-style shardings,
+    XLA inserts the collectives). The reference is single-device only.
+  * metrics stay on device during the epoch and flush once per epoch
+    (the reference's per-step ``float()`` pulls sync the accelerator every
+    step — SURVEY flags this as a throughput killer).
+  * ``--resume`` restores the full TrainState (params + opt state + step),
+    an addition the reference lacks (it never loads its own checkpoints).
+
+Evaluation reproduces the reference protocol: FID from Inception-v3 pool3
+statistics (real stats from the *test* loader, computed once and cached),
+pixel-space MMD on flattened pixels, both on samples from the 20-step
+``lax.scan`` sampler.
+"""
+
+from collections import defaultdict
+import argparse
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ddm_tpu.data.augment import augment_cifar10, normalize_images
+from ddm_tpu.data.cifar10 import CIFAR10DataConfig, build_cifar10_dataloaders
+from ddm_tpu.metrics import (
+    compute_activation_statistics,
+    compute_image_mmd,
+    frechet_distance,
+)
+from ddm_tpu.models.dit import DDDMDiT
+from ddm_tpu.parallel import (
+    DIT_TP_RULES,
+    REPLICATED_RULES,
+    make_mesh,
+    make_sharded_train_step,
+    place_train_state,
+    shard_batch,
+)
+from ddm_tpu.sampling import sample_dddm_batched
+from ddm_tpu.training import TrainState
+from ddm_tpu.utils import checkpoint as ckpt_lib
+from ddm_tpu.utils.config import apply_config
+from ddm_tpu.utils.plotting import plot_training_curves, save_image_grid
+from ddm_tpu.utils.profiling import Throughput, trace
+
+
+def _serialize_history(history: Dict[str, list]) -> dict:
+    result: dict = {}
+    for key, values in history.items():
+        if key in {"step", "epoch"}:
+            result[key] = [int(v) for v in values]
+        else:
+            result[key] = [float(v) for v in values]
+    return result
+
+
+def maybe_init_wandb(args: argparse.Namespace):
+    if not getattr(args, "wandb", False):
+        return None, None
+    try:
+        import wandb  # pragma: no cover - optional dependency
+    except ImportError as exc:  # pragma: no cover - defensive import guard
+        raise RuntimeError(
+            "Weights & Biases is not installed but `--wandb` was provided."
+        ) from exc
+    run = wandb.init(project=args.wandb_project, name=args.wandb_name,
+                     config=vars(args))
+    return run, wandb
+
+
+def build_model(args: argparse.Namespace) -> DDDMDiT:
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
+    return DDDMDiT(
+        img_size=args.image_size,
+        patch_size=args.patch_size,
+        in_channels=3 * 2,
+        out_channels=3,
+        embed_dim=args.embed_dim,
+        depth=args.depth,
+        num_heads=args.heads,
+        time_embed_dim=args.time_embed,
+        mlp_ratio=args.mlp_ratio,
+        dtype=dtype,
+        data_format="NHWC",  # loader yields NHWC; TPU-preferred layout
+        attention_impl=args.attention,
+    )
+
+
+def train(args: argparse.Namespace) -> None:
+    os.makedirs(args.out, exist_ok=True)
+    root_key = jax.random.PRNGKey(args.seed)
+
+    data_config = CIFAR10DataConfig(
+        data_dir=args.data_dir,
+        batch_size=args.batch,
+        num_workers=args.workers,
+        image_size=args.image_size,
+        augment=not args.no_augment,
+        download=True,
+        synthetic=args.synthetic,
+        seed=args.seed,
+    )
+    train_loader, eval_loader = build_cifar10_dataloaders(data_config)
+    channels, image_size = 3, args.image_size
+
+    model = build_model(args)
+    init_key, root_key = jax.random.split(root_key)
+    dummy = jnp.zeros((1, image_size, image_size, channels), jnp.float32)
+    params = model.init(init_key, dummy, jnp.zeros((1,)), dummy)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"DDDMDiT: {n_params / 1e6:.2f}M params, "
+          f"{jax.local_device_count()} device(s)", flush=True)
+
+    tx_parts = []
+    if args.grad_clip is not None and args.grad_clip > 0:
+        tx_parts.append(optax.clip_by_global_norm(args.grad_clip))
+    tx_parts.append(optax.adamw(args.lr, weight_decay=args.weight_decay))
+    tx = optax.chain(*tx_parts)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    start_epoch = 1
+    if args.resume:
+        latest = ckpt_lib.latest_checkpoint(args.out)
+        if latest is not None:
+            state, saved_cfg = ckpt_lib.restore_train_state(latest, state)
+            start_epoch = int(saved_cfg.get("epoch", 0)) + 1
+            print(f"Resumed from {latest} at epoch {start_epoch}", flush=True)
+
+    mesh = make_mesh(tp=args.tp)
+    rules = DIT_TP_RULES if args.tp > 1 else REPLICATED_RULES
+    state, state_shardings = place_train_state(state, mesh, rules)
+
+    augment = not args.no_augment
+
+    def preprocess(key: jax.Array, batch: jnp.ndarray) -> jnp.ndarray:
+        if augment:
+            return augment_cifar10(key, batch)
+        return normalize_images(batch)
+
+    step_fn = make_sharded_train_step(
+        model.apply, mesh, state_shardings,
+        m=args.m, beta=args.beta, lam=args.lam, w_bias=args.w_bias,
+        preprocess=preprocess,
+    )
+
+    global_step = int(state.step)
+    fid_embedder = None
+    fid_stats = None
+    fid_failed = False
+
+    wandb_run, wandb_module = maybe_init_wandb(args)
+
+    train_history: Dict[str, list] = {"step": []}
+    epoch_history: Dict[str, list] = {"epoch": []}
+    eval_history: Dict[str, list] = {"epoch": []}
+    throughput = Throughput()
+    steps_per_epoch = len(train_loader)
+
+    with trace(args.profile_dir):
+        for epoch in range(start_epoch, args.epochs + 1):
+            epoch_t0 = time.perf_counter()
+            pending = []  # on-device per-step metrics; flushed once per epoch
+            for batch_idx, (images, _) in enumerate(train_loader):
+                root_key, step_key = jax.random.split(root_key)
+                state, metrics = step_fn(state, step_key, shard_batch(images, mesh))
+                global_step += 1
+                pending.append(metrics)
+                throughput.update(images.shape[0])
+                if epoch == start_epoch and batch_idx == 0:
+                    jax.tree.map(
+                        lambda x: x.block_until_ready(), metrics
+                    )  # exclude compile from throughput
+                    throughput.reset()
+
+            # single host sync per epoch
+            flushed = jax.device_get(pending)
+            epoch_sums: Dict[str, float] = defaultdict(float)
+            for i, mstep in enumerate(flushed):
+                train_history["step"].append(global_step - len(flushed) + i + 1)
+                for k, v in mstep.items():
+                    train_history.setdefault(k, []).append(float(v))
+                    epoch_sums[k] += float(v)
+                if wandb_run is not None:
+                    wandb_run.log(
+                        {"train/epoch": epoch, "train/lr": args.lr,
+                         **{f"train/{k}": float(v) for k, v in mstep.items()}},
+                        step=global_step - len(flushed) + i + 1,
+                    )
+
+            num_batches = max(len(flushed), 1)
+            epoch_avg = {k: epoch_sums[k] / num_batches for k in epoch_sums}
+            img_per_sec = num_batches * args.batch / (time.perf_counter() - epoch_t0)
+            summary = " ".join(f"{k}={epoch_avg[k]:.4f}" for k in sorted(epoch_avg))
+            print(
+                f"[epoch {epoch:03d}] {summary} "
+                f"({img_per_sec:.0f} img/s, "
+                f"{throughput.per_chip:.0f} img/s/chip steady)",
+                flush=True,
+            )
+
+            epoch_history["epoch"].append(epoch)
+            for key, value in epoch_avg.items():
+                epoch_history.setdefault(key, []).append(value)
+            epoch_history.setdefault("images_per_sec", []).append(img_per_sec)
+
+            if wandb_run is not None:
+                wandb_run.log(
+                    {f"epoch/{k}": v for k, v in epoch_avg.items()}
+                    | {"epoch/images_per_sec": img_per_sec},
+                    step=epoch,
+                )
+
+            if epoch % args.ckpt_every == 0 or epoch == args.epochs:
+                ckpt_lib.save_train_state(
+                    os.path.join(args.out, f"model_epoch{epoch:03d}.ckpt"),
+                    state, config=vars(args) | {"epoch": epoch},
+                )
+
+            if args.eval_every > 0 and epoch % args.eval_every == 0:
+                if fid_embedder is None and not fid_failed:
+                    try:
+                        from ddm_tpu.models.inception import InceptionEmbedding
+
+                        fid_embedder = InceptionEmbedding()
+                    except Exception as exc:  # noqa: BLE001
+                        fid_failed = True
+                        print(f"[eval] FID disabled: {exc}", flush=True)
+                if fid_embedder is not None and fid_stats is None:
+                    fid_stats = compute_activation_statistics(
+                        eval_loader, fid_embedder, max_items=args.fid_samples,
+                        batch_size=args.eval_batch,
+                    )
+                metrics = evaluate(model, state, args, eval_loader,
+                                   fid_embedder, fid_stats, root_key)
+                root_key, _ = jax.random.split(root_key)
+                fid_str = (f"FID={metrics['fid']:.3f} " if "fid" in metrics else "")
+                print(f"[epoch {epoch:03d}] {fid_str}MMD={metrics['mmd']:.6f}",
+                      flush=True)
+                eval_history["epoch"].append(epoch)
+                for key, value in metrics.items():
+                    eval_history.setdefault(key, []).append(float(value))
+                if wandb_run is not None:
+                    wandb_run.log({f"eval/{k}": v for k, v in metrics.items()},
+                                  step=epoch)
+
+    ckpt_lib.save_train_state(
+        os.path.join(args.out, "model_final.ckpt"),
+        state, config=vars(args) | {"epoch": args.epochs},
+    )
+
+    with open(os.path.join(args.out, "config.json"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    if args.sample_batch > 0:
+        sample_key = jax.random.fold_in(root_key, 999)
+        samples = sample_dddm_batched(
+            model.apply, state.params, sample_key, args.sample_batch,
+            steps=args.sample_steps, eps_churn=args.eps_churn,
+            data_shape=(image_size, image_size, channels),
+        )
+        samples = np.clip(np.asarray(samples), -1.0, 1.0)
+        grid_rows = int(args.sample_batch**0.5)
+        if grid_rows * grid_rows < args.sample_batch:
+            grid_rows += 1
+        save_image_grid((samples + 1.0) / 2.0,
+                        os.path.join(args.out, "samples.png"), nrow=grid_rows)
+        print(f"Saved samples and checkpoints to {args.out}", flush=True)
+
+    # Persist and plot training dynamics (three JSON+PNG pairs, as reference).
+    for name, hist, xkey, title, xlabel in (
+        ("train", train_history, "step", "CIFAR-10 training dynamics", "Step"),
+        ("epoch", epoch_history, "epoch", "CIFAR-10 epoch averages", "Epoch"),
+        ("eval", eval_history, "epoch", "CIFAR-10 evaluation metrics", "Epoch"),
+    ):
+        if name == "eval" and len(eval_history["epoch"]) == 0:
+            continue
+        with open(os.path.join(args.out, f"{name}_metrics.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(_serialize_history(hist), f, indent=2)
+        try:
+            plot_path = plot_training_curves(
+                hist, os.path.join(args.out, f"{name}_dynamics.png"),
+                title=title, xlabel=xlabel, x_key=xkey,
+            )
+        except ValueError:
+            plot_path = None
+        else:
+            if wandb_run is not None and wandb_module is not None:
+                wandb_run.log(
+                    {f"plots/{name}_dynamics": wandb_module.Image(plot_path)},
+                    step=global_step,
+                )
+
+    if wandb_run is not None:
+        wandb_run.finish()
+
+
+def evaluate(
+    model: DDDMDiT,
+    state: TrainState,
+    args: argparse.Namespace,
+    eval_loader,
+    embedder,
+    real_stats,
+    key: jax.Array,
+) -> Dict[str, float]:
+    """Sample -> clamp -> FID (vs cached real stats) + pixel MMD.
+
+    Reference parity: ``train_cifar10_dit.py:318-358``.
+    """
+    samples = sample_dddm_batched(
+        model.apply, state.params, key, args.eval_samples,
+        steps=args.sample_steps, eps_churn=args.eps_churn,
+        data_shape=(args.image_size, args.image_size, 3),
+        chunk_size=min(args.eval_batch * 8, args.eval_samples),
+    )
+    samples = np.clip(np.asarray(samples), -1.0, 1.0)
+    fake_batches = [samples[i:i + args.eval_batch]
+                    for i in range(0, samples.shape[0], args.eval_batch)]
+
+    out: Dict[str, float] = {}
+    if embedder is not None and real_stats is not None:
+        mu_r, sigma_r = real_stats
+        mu_f, sigma_f = compute_activation_statistics(
+            fake_batches, embedder, max_items=args.fid_samples,
+            batch_size=args.eval_batch,
+        )
+        out["fid"] = float(frechet_distance(mu_r, sigma_r, mu_f, sigma_f))
+    out["mmd"] = float(compute_image_mmd(
+        fake_batches, eval_loader, sigma=args.mmd_sigma,
+        max_items=args.mmd_samples,
+    ))
+    return out
+
+
+def main(argv: Optional[list] = None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", type=str, default=None, help="Optional YAML config")
+    parser.add_argument("--data-dir", type=str, default="./data")
+    parser.add_argument("--out", type=str, default="./cifar10_dit_out")
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--weight-decay", type=float, default=0.01)
+    parser.add_argument("--beta", type=float, default=0.1)
+    parser.add_argument("--lam", type=float, default=1.0)
+    parser.add_argument("--m", type=int, default=8)
+    parser.add_argument("--w-bias", type=float, default=0.0, dest="w_bias")
+    parser.add_argument("--grad-clip", type=float, default=1.0)
+    parser.add_argument("--ckpt-every", type=int, default=1)
+    parser.add_argument("--device", type=str, default="tpu")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--image-size", type=int, default=32)
+    parser.add_argument("--patch-size", type=int, default=4)
+    parser.add_argument("--embed-dim", type=int, default=384)
+    parser.add_argument("--depth", type=int, default=8)
+    parser.add_argument("--heads", type=int, default=6)
+    parser.add_argument("--time-embed", type=int, default=256)
+    parser.add_argument("--mlp-ratio", type=float, default=4.0)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--sample-batch", type=int, default=64)
+    parser.add_argument("--sample-steps", type=int, default=20)
+    parser.add_argument("--eps-churn", type=float, default=1.0)
+    parser.add_argument("--no-augment", action="store_true", help="Disable data augmentation")
+    parser.add_argument("--eval-every", type=int, default=0, help="Evaluate every N epochs (0 disables)")
+    parser.add_argument("--eval-batch", type=int, default=256, help="Batch size for evaluation loaders")
+    parser.add_argument("--eval-samples", type=int, default=1024, help="Number of samples to draw for evaluation")
+    parser.add_argument("--fid-samples", type=int, default=10000, help="Number of real/fake images for FID")
+    parser.add_argument("--mmd-samples", type=int, default=2048, help="Number of images used for MMD")
+    parser.add_argument("--mmd-sigma", type=float, default=1.0, help="RBF kernel bandwidth for MMD")
+    parser.add_argument("--wandb", action="store_true", help="Log training to Weights & Biases")
+    parser.add_argument("--wandb-project", type=str, default="dddm")
+    parser.add_argument("--wandb-name", type=str, default=None)
+    # ddm_tpu additions:
+    parser.add_argument("--dtype", type=str, default="bfloat16",
+                        choices=["float32", "bfloat16"], help="compute dtype")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel degree over the 'model' mesh axis")
+    parser.add_argument("--attention", type=str, default="auto",
+                        choices=["auto", "xla", "flash"], help="attention impl")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="use synthetic CIFAR-shaped data (air-gapped smoke runs)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest checkpoint in --out")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="write a jax.profiler trace here")
+    args = parser.parse_args(argv)
+    apply_config(parser, args)
+
+    if args.m < 2:
+        parser.error("m must be >= 2 for the generalized energy score")
+    if args.eval_every > 0 and args.eval_samples <= 0:
+        parser.error("--eval-samples must be positive when evaluation is enabled")
+    if args.eval_batch <= 0:
+        parser.error("--eval-batch must be positive")
+
+    train(args)
+
+
+if __name__ == "__main__":
+    main()
