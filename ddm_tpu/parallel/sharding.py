@@ -9,9 +9,11 @@ Tensor-parallel layout for the DiT backbone (Megatron-style, expressed as
 shardings instead of explicit collectives — XLA inserts the allreduces):
 
   * attention ``qkv``:  column-parallel — fused feature axis sharded over
-    ``model``; with the head-major (H, 3, Dh) reshape in
-    ``ddm_tpu.models.dit.MultiheadSelfAttention`` each shard owns whole
-    heads, so scores/probs/context need no cross-shard traffic.
+    ``model``. The qkv layout is ``[q | k | v]`` lane blocks (chosen for the
+    fused attention kernel), so a tp split lands mid-block; XLA's SPMD
+    partitioner resolves this with an all-gather before the attention body.
+    Numerically exact always; for collective-free attention at tp > 1,
+    future work can split qkv into three column-parallel projections.
   * attention ``proj``: row-parallel — input axis sharded; XLA allreduces
     the partial outputs (one psum per block).
   * MLP ``ff_in``: column-parallel; ``ff_out``: row-parallel (second psum).
