@@ -57,6 +57,10 @@ def main() -> None:
     # ddm_tpu additions:
     p.add_argument("--steps-per-scan", type=int, default=100,
                    help="training steps fused per lax.scan program")
+    p.add_argument("--eps-churn", type=float, default=1.0, dest="eps_churn",
+                   help="sampler churn (reference hardcodes 1.0 on the toy "
+                        "path; 0.0 gives the deterministic bridge and "
+                        "markedly better toy MMD)")
     args = p.parse_args()
     apply_config(p, args)
 
@@ -83,7 +87,7 @@ def main() -> None:
     kgen, kref = jax.random.split(eval_key)
     t0 = time.perf_counter()
     xgen = sample_dddm(state.apply_fn, state.params, kgen, n_samples=4096,
-                       steps=args.steps)
+                       steps=args.steps, eps_churn=args.eps_churn)
     xgen.block_until_ready()
     sample_secs = time.perf_counter() - t0
     xref = sample_gmm(kref, 4096)
