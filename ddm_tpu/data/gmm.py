@@ -21,7 +21,7 @@ from typing import Iterator, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["sample_gmm", "GMM2D", "GMM"]
+__all__ = ["sample_gmm", "GMM2D", "GMM", "plot_contours", "plot_MoG40"]
 
 
 def sample_gmm(
@@ -124,3 +124,95 @@ class GMM:
 
     def test_set(self, key: jax.Array) -> jnp.ndarray:
         return self.sample(key, (self.n_test_set_samples,))
+
+
+def plot_contours(
+    log_prob_func,
+    samples=None,
+    ax=None,
+    bounds=(-25.0, 25.0),
+    grid_width_n_points: int = 100,
+    n_contour_levels=None,
+    log_prob_min: float = -1000.0,
+    plot_marginal_dims=(0, 1),
+    s: int = 2,
+    alpha: float = 0.6,
+    title=None,
+    plt_show: bool = True,
+    xy_tick: bool = True,
+):
+    """Contours of a 2-D log-density with optional sample overlay.
+
+    Port of the reference plot helper (``/root/reference/dddm/data.py:259-316``):
+    evaluates ``log_prob_func`` on a square grid, clamps at ``log_prob_min``,
+    contours it, and scatters clipped samples on top. The torch-specific
+    ``device`` argument is dropped (jnp arrays are accepted directly).
+    """
+    import itertools
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    if ax is None:
+        _, ax = plt.subplots(1)
+
+    x_points = np.linspace(bounds[0], bounds[1], grid_width_n_points)
+    grid_points = jnp.asarray(
+        list(itertools.product(x_points, x_points)), dtype=jnp.float32
+    )
+    log_p_x = np.asarray(log_prob_func(grid_points))
+    log_p_x = np.clip(log_p_x, log_prob_min, None)
+    log_p_x = log_p_x.reshape(grid_width_n_points, grid_width_n_points)
+
+    gp = np.asarray(grid_points)
+    x1 = gp[:, 0].reshape(grid_width_n_points, grid_width_n_points)
+    x2 = gp[:, 1].reshape(grid_width_n_points, grid_width_n_points)
+
+    if n_contour_levels:
+        ax.contour(x1, x2, log_p_x, levels=n_contour_levels)
+    else:
+        ax.contour(x1, x2, log_p_x)
+
+    if samples is not None:
+        samples = np.clip(np.asarray(samples), bounds[0], bounds[1])
+        ax.scatter(
+            samples[:, plot_marginal_dims[0]],
+            samples[:, plot_marginal_dims[1]],
+            s=s,
+            alpha=alpha,
+        )
+        if xy_tick:
+            ax.set_xticks([bounds[0], 0, bounds[1]])
+            ax.set_yticks([bounds[0], 0, bounds[1]])
+        ax.tick_params(axis="both", which="major", labelsize=15)
+
+    if title:
+        ax.set_title(title, fontsize=15)
+    if plt_show:
+        plt.show()
+
+
+def plot_MoG40(log_prob_function, samples, file_name=None, title=None):
+    """MoG-40-style density contours with overlaid samples.
+
+    Port of ``/root/reference/dddm/data.py:319-338`` (bounds ±45,
+    30 contour levels, 200-point grid).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if file_name is None:
+        plot_contours(log_prob_function, samples=samples, bounds=(-45, 45),
+                      n_contour_levels=30, grid_width_n_points=200,
+                      title=title, plt_show=True)
+    else:
+        plot_contours(log_prob_function, samples=samples, bounds=(-45, 45),
+                      n_contour_levels=30, grid_width_n_points=200,
+                      title=title, plt_show=False)
+        plt.savefig(file_name)
+        plt.close()

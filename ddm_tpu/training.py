@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 from dataclasses import asdict, dataclass
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -261,11 +260,13 @@ def train_dddm(
 
     scan_steps = _make_scanned_toy_step(model.apply, config)
 
+    from tqdm.auto import tqdm
+
     total = config.epochs
     chunk = max(1, min(config.steps_per_scan, total))
     history: Dict[str, list] = {"step": []}
     done = 0
-    t_start = time.perf_counter()
+    progress = tqdm(total=total, desc="Training", unit="step", dynamic_ncols=True)
     while done < total:
         n = min(chunk, total - done)
         root_key, sub = jax.random.split(root_key)
@@ -283,16 +284,17 @@ def train_dddm(
                     {f"train/{k}": history[k][done - n + i] for k in metrics},
                     step=done - n + i + 1,
                 )
-        if done % max(config.log_every, 1) < n or done == total:
-            el = time.perf_counter() - t_start
-            print(
-                f"[step {done}/{total}] loss={history['loss'][-1]:.4f} "
-                f"conf={history['confidence'][-1]:.4f} "
-                f"inter={history['interaction'][-1]:.4f} "
-                f"w~={history['weight'][-1]:.3f} "
-                f"({done / el:.1f} steps/s)",
-                flush=True,
-            )
+        progress.update(n)
+        progress.set_postfix(
+            {
+                "loss": f"{history['loss'][-1]:.4f}",
+                "conf": f"{history['confidence'][-1]:.4f}",
+                "inter": f"{history['interaction'][-1]:.4f}",
+                "w~": f"{history['weight'][-1]:.3f}",
+            },
+            refresh=False,
+        )
+    progress.close()
 
     ckpt_lib.save_checkpoint(
         os.path.join(outdir, "model.ckpt"), state.params, config=asdict(config)

@@ -1,0 +1,119 @@
+"""Tests for the data layer: GMM sources, CIFAR loaders, device augmentation."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddm_tpu.data.augment import augment_cifar10, normalize_images
+from ddm_tpu.data.cifar10 import (
+    ArrayLoader,
+    CIFAR10DataConfig,
+    build_cifar10_dataloaders,
+)
+from ddm_tpu.data.gmm import GMM, GMM2D, plot_MoG40, plot_contours, sample_gmm
+
+
+def test_sample_gmm_statistics(key):
+    x = np.asarray(sample_gmm(key, 8192))
+    assert x.shape == (8192, 2)
+    # both modes present, roughly balanced
+    right = x[x[:, 0] > 0]
+    left = x[x[:, 0] < 0]
+    assert 0.4 < len(right) / 8192 < 0.6
+    np.testing.assert_allclose(right.mean(0), [3.0, 3.0], atol=0.1)
+    np.testing.assert_allclose(left.mean(0), [-3.0, 3.0], atol=0.1)
+    np.testing.assert_allclose(right.std(0), 0.5, atol=0.05)
+
+
+def test_gmm2d_iterator():
+    it = iter(GMM2D(seed=1))
+    pts = np.stack([np.asarray(next(it)) for _ in range(32)])
+    assert pts.shape == (32, 2)
+    assert np.all(np.abs(pts[:, 1] - 3.0) < 3.0)
+
+
+def test_general_gmm_log_prob_normalisation(key):
+    gmm = GMM(dim=2, n_mixes=4, loc_scaling=5.0, seed=0)
+    # Monte-Carlo check: E_q[p/q] ~= 1 over a wide uniform proposal
+    n = 200_000
+    span = 30.0
+    u = jax.random.uniform(key, (n, 2), minval=-span, maxval=span)
+    lp = gmm.log_prob(u)
+    est = float(jnp.mean(jnp.exp(lp)) * (2 * span) ** 2)
+    assert 0.9 < est < 1.1, est
+
+
+def test_general_gmm_sample_matches_density(key):
+    gmm = GMM(dim=2, n_mixes=2, loc_scaling=3.0, seed=3)
+    xs = gmm.sample(key, (4096,))
+    lp = gmm.log_prob(xs)
+    assert np.isfinite(np.asarray(lp)).all()
+    assert xs.shape == (4096, 2)
+
+
+def test_normalize_images_range():
+    img = jnp.array([[[[0, 127, 255]]]], dtype=jnp.uint8)
+    out = np.asarray(normalize_images(img))
+    np.testing.assert_allclose(out.ravel(), [-1.0, -0.00392157, 1.0], atol=1e-5)
+
+
+def test_augment_shapes_and_range(key):
+    batch = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
+    )
+    out = augment_cifar10(key, batch)
+    assert out.shape == (8, 32, 32, 3)
+    assert out.dtype == jnp.float32
+    o = np.asarray(out)
+    assert o.min() >= -1.0 and o.max() <= 1.0
+
+
+def test_augment_is_identity_distribution_preserving(key):
+    """Center crop content must appear somewhere: zero-pad-free reflect crop
+    keeps pixel value multiset within the padded neighbourhood."""
+    batch = jnp.asarray(np.full((2, 32, 32, 3), 128, dtype=np.uint8))
+    out = np.asarray(augment_cifar10(key, batch))
+    np.testing.assert_allclose(out, 128 / 127.5 - 1.0, atol=1e-6)
+
+
+def test_synthetic_loaders_contract():
+    cfg = CIFAR10DataConfig(synthetic=True, synthetic_size=256, batch_size=64)
+    train, test = build_cifar10_dataloaders(cfg)
+    xb, yb = next(iter(train))
+    assert xb.shape == (64, 32, 32, 3) and xb.dtype == np.uint8
+    assert yb.shape == (64,)
+    xe, _ = next(iter(test))
+    assert xe.dtype == np.float32
+    assert xe.min() >= -1.0 and xe.max() <= 1.0
+    assert len(train) == 4  # drop_last
+    # fresh shuffle each epoch
+    e1 = [y[0] for _, y in train]
+    e2 = [y[0] for _, y in train]
+    assert e1 != e2 or True  # permutation may coincide; just ensure iterable twice
+
+
+def test_loader_drop_last_false():
+    cfg = CIFAR10DataConfig(synthetic=True, synthetic_size=100, batch_size=64,
+                            drop_last=False)
+    data, _ = build_cifar10_dataloaders(cfg)
+    loader = ArrayLoader(data.data, 64, shuffle=False, drop_last=False,
+                         normalize=False)
+    sizes = [x.shape[0] for x, _ in loader]
+    assert sizes == [64, 36]
+
+
+def test_missing_dataset_raises_actionable_error(tmp_path):
+    cfg = CIFAR10DataConfig(data_dir=str(tmp_path), download=False)
+    with pytest.raises(FileNotFoundError, match="synthetic=True"):
+        build_cifar10_dataloaders(cfg)
+
+
+def test_contour_plots_write_files(tmp_path, key):
+    gmm = GMM(dim=2, n_mixes=3, loc_scaling=10.0, seed=1)
+    xs = gmm.sample(key, (128,))
+    out = tmp_path / "mog.png"
+    plot_MoG40(gmm.log_prob, xs, file_name=str(out))
+    assert out.exists() and out.stat().st_size > 0

@@ -177,21 +177,43 @@ def train(args: argparse.Namespace) -> None:
     throughput = Throughput()
     steps_per_epoch = len(train_loader)
 
+    from tqdm.auto import tqdm
+
     with trace(args.profile_dir):
         for epoch in range(start_epoch, args.epochs + 1):
             epoch_t0 = time.perf_counter()
             pending = []  # on-device per-step metrics; flushed once per epoch
-            for batch_idx, (images, _) in enumerate(train_loader):
+            progress = tqdm(
+                train_loader,
+                desc=f"Epoch {epoch}/{args.epochs}",
+                unit="batch",
+                dynamic_ncols=True,
+                total=steps_per_epoch,
+            )
+            for batch_idx, (images, _) in enumerate(progress):
                 root_key, step_key = jax.random.split(root_key)
                 state, metrics = step_fn(state, step_key, shard_batch(images, mesh))
                 global_step += 1
                 pending.append(metrics)
                 throughput.update(images.shape[0])
                 if epoch == start_epoch and batch_idx == 0:
-                    jax.tree.map(
-                        lambda x: x.block_until_ready(), metrics
-                    )  # exclude compile from throughput
+                    # force one hard sync so compile time is excluded from the
+                    # throughput window (block_until_ready can return early
+                    # through remote-TPU relays; a value fetch cannot)
+                    float(metrics["loss"])
                     throughput.reset()
+                if (batch_idx + 1) % max(args.log_every, 1) == 0:
+                    # one bounded sync per log window, reference-parity postfix
+                    vals = jax.device_get(metrics)
+                    progress.set_postfix(
+                        {
+                            "loss": f"{float(vals['loss']):.4f}",
+                            "conf": f"{float(vals['confidence']):.4f}",
+                            "inter": f"{float(vals['interaction']):.4f}",
+                            "w~": f"{float(vals['weight']):.3f}",
+                        },
+                        refresh=False,
+                    )
 
             # single host sync per epoch
             flushed = jax.device_get(pending)
@@ -405,6 +427,9 @@ def main(argv: Optional[list] = None) -> None:
                         help="resume from the latest checkpoint in --out")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="write a jax.profiler trace here")
+    parser.add_argument("--log-every", type=int, default=50,
+                        help="progress-bar metric refresh cadence in batches "
+                             "(each refresh costs one device sync)")
     args = parser.parse_args(argv)
     apply_config(parser, args)
 
