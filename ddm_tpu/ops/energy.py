@@ -1,0 +1,200 @@
+"""Fused generalized energy-score Pallas kernel (north-star item).
+
+Computes the confinement and interaction terms of the conditional
+generalized energy score (paper eq. (12)) for image-sized data WITHOUT
+materialising the ``(B, m, m, D)`` pairwise-difference tensor the direct
+jnp formulation needs (~200 MB for the CIFAR config, several HBM round
+trips in fwd+bwd): each grid step streams a block of ``(bb, m, D)``
+predictions into VMEM, forms all m + m(m-1)/2 difference rows in registers,
+reduces them, and accumulates two scalars across the sequential TPU grid.
+
+Numerical contract matches ``ddm_tpu.ops.losses.generalized_energy_terms``
+exactly: direct differences (the Gram expansion provably diverges training
+at fractional beta — see losses.py), fp32 accumulation, the reference's
+1e-12 stabiliser inside the fractional power, off-diagonal pair mean.
+
+The backward pass is a second kernel via ``jax.custom_vjp`` (recomputes the
+per-pair distances; emits dx0hats and dx0 blocks):
+
+    d/dx_i ||x_i - y||^beta-ish term: w = (beta/2) (d2+eps)^(beta/2-1),
+    grad = 2 w (x_i - y) — applied with the caller's upstream scalars folded
+    into per-term normalisations.
+
+``fused_energy_terms`` falls back to the jnp implementation off-TPU or for
+unsupported shapes (e.g. the 2-D toy problem, where fusion is pointless).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .losses import generalized_energy_terms as _jnp_energy_terms
+
+__all__ = ["fused_energy_terms"]
+
+_EPS = 1e-12
+
+
+def _pow_beta(d2: jnp.ndarray, beta: float) -> jnp.ndarray:
+    if beta == 2.0:
+        return d2
+    return jnp.power(d2 + _EPS, beta / 2.0)
+
+
+def _dpow_beta(d2: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """d/d(d2) of the powered distance."""
+    if beta == 2.0:
+        return jnp.ones_like(d2)
+    return (beta / 2.0) * jnp.power(d2 + _EPS, beta / 2.0 - 1.0)
+
+
+def _choose_bb(B: int, m: int, D: int) -> int:
+    bb = 8
+    while B % bb != 0 and bb > 1:
+        bb //= 2
+    # keep the (bb, m, D) fp32 block and temporaries well under VMEM
+    while bb > 1 and bb * m * D * 4 > 2 * 1024 * 1024:
+        bb //= 2
+    return max(bb, 1)
+
+
+def _fwd_kernel(xh_ref, x0_ref, conf_ref, inter_ref, *, m: int, beta: float):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        conf_ref[0, 0] = 0.0
+        inter_ref[0, 0] = 0.0
+
+    conf_acc = jnp.float32(0.0)
+    inter_acc = jnp.float32(0.0)
+    x0 = x0_ref[:].astype(jnp.float32)  # (bb, D)
+    for i in range(m):
+        diff = xh_ref[:, i, :].astype(jnp.float32) - x0
+        d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)  # (bb, 1)
+        conf_acc += jnp.sum(_pow_beta(d2, beta))
+    for i in range(m):
+        xi = xh_ref[:, i, :].astype(jnp.float32)
+        for j in range(i + 1, m):
+            diff = xi - xh_ref[:, j, :].astype(jnp.float32)
+            d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)
+            inter_acc += 2.0 * jnp.sum(_pow_beta(d2, beta))  # (i,j) and (j,i)
+
+    conf_ref[0, 0] += conf_acc
+    inter_ref[0, 0] += inter_acc
+
+
+def _bwd_kernel(xh_ref, x0_ref, gc_ref, gi_ref, dxh_ref, dx0_ref,
+                *, m: int, beta: float):
+    gc = gc_ref[0, 0]  # upstream d/d(conf_sum), pre-normalised by caller
+    gi = gi_ref[0, 0]
+    x0 = x0_ref[:].astype(jnp.float32)
+    dx0 = jnp.zeros_like(x0)
+    dxh = [jnp.zeros_like(x0) for _ in range(m)]
+    for i in range(m):
+        diff = xh_ref[:, i, :].astype(jnp.float32) - x0
+        d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)
+        g = (2.0 * gc) * _dpow_beta(d2, beta) * diff
+        dxh[i] = dxh[i] + g
+        dx0 = dx0 - g
+    for i in range(m):
+        xi = xh_ref[:, i, :].astype(jnp.float32)
+        for j in range(i + 1, m):
+            diff = xi - xh_ref[:, j, :].astype(jnp.float32)
+            d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)
+            g = (4.0 * gi) * _dpow_beta(d2, beta) * diff  # 2 pairs x chain 2
+            dxh[i] = dxh[i] + g
+            dxh[j] = dxh[j] - g
+    for i in range(m):
+        dxh_ref[:, i, :] = dxh[i].astype(dxh_ref.dtype)
+    dx0_ref[:] = dx0.astype(dx0_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fused(x0hats, x0, beta: float):
+    return _fused_fwd_call(x0hats, x0, beta)
+
+
+def _fused_fwd_call(x0hats, x0, beta: float):
+    B, m, D = x0hats.shape
+    bb = _choose_bb(B, m, D)
+    conf_sum, inter_sum = pl.pallas_call(
+        functools.partial(_fwd_kernel, m=m, beta=beta),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        grid=(B // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, m, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+    )(x0hats, x0)
+    conf = conf_sum[0, 0] / (B * m)
+    inter = inter_sum[0, 0] / (B * m * (m - 1))
+    return conf, inter
+
+
+def _fused_fwd(x0hats, x0, beta: float):
+    return _fused_fwd_call(x0hats, x0, beta), (x0hats, x0)
+
+
+def _fused_bwd(beta: float, res, grads):
+    x0hats, x0 = res
+    gconf, ginter = grads
+    B, m, D = x0hats.shape
+    bb = _choose_bb(B, m, D)
+    gc = jnp.reshape(gconf / (B * m), (1, 1)).astype(jnp.float32)
+    gi = jnp.reshape(ginter / (B * m * (m - 1)), (1, 1)).astype(jnp.float32)
+    dxh, dx0 = pl.pallas_call(
+        functools.partial(_bwd_kernel, m=m, beta=beta),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, m, D), x0hats.dtype),
+            jax.ShapeDtypeStruct((B, D), x0.dtype),
+        ),
+        grid=(B // bb,),
+        in_specs=[
+            pl.BlockSpec((bb, m, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bb, m, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+    )(x0hats, x0, gc, gi)
+    return dxh, dx0
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_energy_terms(
+    x0hats: jnp.ndarray, x0: jnp.ndarray, beta: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Energy-score terms with the fused kernel when profitable.
+
+    Same contract as :func:`ddm_tpu.ops.losses.generalized_energy_terms`.
+    Dispatches to the kernel on TPU for image-sized D (lane-aligned, block
+    divides B); otherwise uses the jnp reference (which XLA handles fine at
+    toy sizes).
+    """
+    B, m, D = x0hats.shape
+    supported = (
+        jax.default_backend() == "tpu"
+        and D % 128 == 0
+        and m >= 2
+        and B % _choose_bb(B, m, D) == 0
+    )
+    if not supported:
+        return _jnp_energy_terms(x0hats, x0, beta)
+    return _fused(x0hats.astype(jnp.float32), x0.astype(jnp.float32), beta)

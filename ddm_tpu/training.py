@@ -36,7 +36,8 @@ from flax.training import train_state
 
 from .data.gmm import sample_gmm
 from .models.mlp import DDDMMLP
-from .ops.losses import generalized_energy_terms, sigmoid_weight
+from .ops.energy import fused_energy_terms
+from .ops.losses import sigmoid_weight
 from .ops.schedules import forward_marginal_sample
 from .utils import checkpoint as ckpt_lib
 from .utils.plotting import plot_training_curves
@@ -129,8 +130,9 @@ def distributional_training_step(
     x0hat = apply_fn(params, xt_rep, t_rep, xi_flat)
     x0hat = x0hat.reshape(batch, m, -1)
 
-    conf, inter = generalized_energy_terms(
-        x0hat, x0.reshape(batch, -1).astype(jnp.float32), beta=beta
+    # fused Pallas kernel on TPU for image-sized D, jnp reference otherwise
+    conf, inter = fused_energy_terms(
+        x0hat, x0.reshape(batch, -1).astype(jnp.float32), beta
     )
     weight = jnp.mean(sigmoid_weight(t.astype(jnp.float32), bias=w_bias))
     loss = weight * (conf - (lam / (2.0 * (m - 1))) * inter)
