@@ -105,11 +105,45 @@ class MultiheadSelfAttention(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
+class _LNParams(nn.Module):
+    """Param holder matching ``nn.LayerNorm``'s tree ({scale, bias})."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
+class _DenseParams(nn.Module):
+    """Param holder matching ``nn.Dense``'s tree ({kernel, bias})."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_dim, self.out_dim), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.out_dim,), jnp.float32)
+        return k, b
+
+
 class DiTBlock(nn.Module):
     """Pre-LN transformer block: ``x + attn(LN(x)); x + ff(LN(x))``.
 
     Reference parity: ``/root/reference/dddm/model.py:169-180`` (LayerNorms
     carry learnable affine params; GELU MLP with ``mlp_ratio`` expansion).
+
+    The MLP half runs through the fused Pallas half-block kernel
+    (``ddm_tpu.ops.mlp_block``) — LayerNorm, both matmuls, GELU, and the
+    residual in one VMEM-resident pass (jnp fallback off-TPU). The param
+    tree is identical to the plain ``nn.LayerNorm``/``nn.Dense`` layout, so
+    checkpoints and sharding rules are unaffected.
     """
 
     dim: int
@@ -117,6 +151,7 @@ class DiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
+    fused_mlp: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -125,8 +160,22 @@ class DiTBlock(nn.Module):
             self.dim, self.num_heads, dtype=self.dtype,
             attention_impl=self.attention_impl, name="attn",
         )(h)
+
+        hidden = int(self.dim * self.mlp_ratio)
+        if self.fused_mlp:
+            from ddm_tpu.ops.mlp_block import fused_mlp_block
+
+            s2, b2 = _LNParams(self.dim, name="norm2")()
+            w1, bb1 = _DenseParams(self.dim, hidden, name="ff_in")()
+            w2, bb2 = _DenseParams(hidden, self.dim, name="ff_out")()
+            B, N, D = x.shape
+            out = fused_mlp_block(
+                x.astype(self.dtype).reshape(B * N, D), s2, b2, w1, bb1, w2, bb2
+            )
+            return out.reshape(B, N, D)
+
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="ff_in")(h)
+        h = nn.Dense(hidden, dtype=self.dtype, name="ff_in")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(h)
         return x + h
@@ -157,6 +206,7 @@ class DDDMDiT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     data_format: str = "NCHW"  # public API layout; internal compute is NHWC
     attention_impl: str = "auto"
+    fused_mlp: bool = True
 
     def setup(self):
         if self.img_size % self.patch_size != 0:
@@ -181,6 +231,7 @@ class DDDMDiT(nn.Module):
                 self.mlp_ratio,
                 dtype=self.dtype,
                 attention_impl=self.attention_impl,
+                fused_mlp=self.fused_mlp,
                 name=f"block_{i}",
             )
             for i in range(self.depth)

@@ -1,0 +1,73 @@
+"""Interpret-mode correctness tests for the fused MLP half-block kernel."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import ddm_tpu.ops.mlp_block as M
+
+
+@pytest.fixture()
+def interpret_kernels(monkeypatch):
+    monkeypatch.setattr(
+        M.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+
+
+def _args(T=64, D=128, F=256, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+    return (
+        jax.random.normal(ks[0], (T, D), jnp.float32),
+        1.0 + 0.1 * jax.random.normal(ks[1], (D,)),
+        0.1 * jax.random.normal(ks[2], (D,)),
+        0.05 * jax.random.normal(ks[3], (D, F)),
+        0.05 * jax.random.normal(ks[4], (F,)),
+        0.05 * jax.random.normal(ks[5], (F, D)),
+        0.05 * jax.random.normal(ks[6], (D,)),
+    )
+
+
+def test_erf_poly_accuracy():
+    x = jnp.linspace(-5, 5, 1001)
+    np.testing.assert_allclose(
+        np.asarray(M._erf_poly(x)), np.asarray(jax.lax.erf(x)), atol=5e-7
+    )
+
+
+def test_fused_forward_matches_reference(interpret_kernels):
+    args = _args()
+    want = M.mlp_block_reference(*args, dtype=jnp.float32)
+    got = M._fused(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_gradients_match(interpret_kernels):
+    args = _args(T=32)
+    do = jax.random.normal(jax.random.PRNGKey(9), args[0].shape)
+    f_ref = lambda *a: jnp.vdot(M.mlp_block_reference(*a, dtype=jnp.float32), do)
+    f_ker = lambda *a: jnp.vdot(M._fused(*a), do)
+    gr = jax.grad(f_ref, argnums=tuple(range(7)))(*args)
+    gk = jax.grad(f_ker, argnums=tuple(range(7)))(*args)
+    for name, a, b in zip(["x", "scale", "bias", "w1", "b1", "w2", "b2"], gr, gk):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=f"grad mismatch for {name}",
+        )
+
+
+def test_dispatch_falls_back_on_cpu():
+    args = _args(T=16)
+    got = M.fused_mlp_block(*args)
+    want = M.mlp_block_reference(*args, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_row_block_divides():
+    for T, D, F in [(131072, 384, 1536), (4096, 384, 1536), (24, 128, 256)]:
+        rb = M._row_block(T, D, F)
+        assert T % rb == 0 or rb == 8
