@@ -133,17 +133,32 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _AttnParams(nn.Module):
+    """Param holder matching ``MultiheadSelfAttention``'s tree (qkv, proj)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        wqkv, bqkv = _DenseParams(self.dim, 3 * self.dim, name="qkv")()
+        wproj, bproj = _DenseParams(self.dim, self.dim, name="proj")()
+        return wqkv, bqkv, wproj, bproj
+
+
 class DiTBlock(nn.Module):
     """Pre-LN transformer block: ``x + attn(LN(x)); x + ff(LN(x))``.
 
     Reference parity: ``/root/reference/dddm/model.py:169-180`` (LayerNorms
     carry learnable affine params; GELU MLP with ``mlp_ratio`` expansion).
 
-    The MLP half runs through the fused Pallas half-block kernel
-    (``ddm_tpu.ops.mlp_block``) — LayerNorm, both matmuls, GELU, and the
-    residual in one VMEM-resident pass (jnp fallback off-TPU). The param
-    tree is identical to the plain ``nn.LayerNorm``/``nn.Dense`` layout, so
-    checkpoints and sharding rules are unaffected.
+    TPU execution: the whole block compiles to exactly TWO Pallas kernels —
+    the fused attention half-block (LN1 + qkv + packed MHA + proj +
+    residual, ``ddm_tpu.ops.attention``) and the fused MLP half-block
+    (LN2 + ff + GELU + residual, ``ddm_tpu.ops.mlp_block``) — with jnp
+    fallbacks off-TPU. The param tree is identical to the plain
+    ``nn.LayerNorm``/``nn.Dense``/``MultiheadSelfAttention`` layout, so
+    checkpoints and sharding rules are unaffected. ``fused_*=False`` or
+    ``attention_impl='xla'`` select the unfused modules.
     """
 
     dim: int
@@ -155,11 +170,24 @@ class DiTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
-        x = x + MultiheadSelfAttention(
-            self.dim, self.num_heads, dtype=self.dtype,
-            attention_impl=self.attention_impl, name="attn",
-        )(h)
+        fuse_attn = self.attention_impl != "xla" and self.fused_mlp
+        B, N, D = x.shape
+
+        if fuse_attn:
+            from ddm_tpu.ops.attention import fused_attention_block
+
+            s1, b1 = _LNParams(self.dim, name="norm1")()
+            wqkv, bqkv, wproj, bproj = _AttnParams(self.dim, name="attn")()
+            x = fused_attention_block(
+                x.astype(self.dtype), s1, b1, wqkv, bqkv, wproj, bproj,
+                self.num_heads,
+            )
+        else:
+            h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+            x = x + MultiheadSelfAttention(
+                self.dim, self.num_heads, dtype=self.dtype,
+                attention_impl=self.attention_impl, name="attn",
+            )(h)
 
         hidden = int(self.dim * self.mlp_ratio)
         if self.fused_mlp:
@@ -168,7 +196,6 @@ class DiTBlock(nn.Module):
             s2, b2 = _LNParams(self.dim, name="norm2")()
             w1, bb1 = _DenseParams(self.dim, hidden, name="ff_in")()
             w2, bb2 = _DenseParams(hidden, self.dim, name="ff_out")()
-            B, N, D = x.shape
             out = fused_mlp_block(
                 x.astype(self.dtype).reshape(B * N, D), s2, b2, w1, bb1, w2, bb2
             )

@@ -239,3 +239,302 @@ def flash_attention(q, k, v, scale: Optional[float] = None):
     r = lambda a: a.reshape(B, N, H * Dh)
     out = fused_attention(r(q), r(k), r(v), H, scale)
     return out.reshape(B, N, H, Dh)
+
+
+# ---------------------------------------------------------------------------
+# Fused attention HALF-BLOCK: x + proj(MHA(qkv(LN(x)))).
+#
+# Goes one level further than ``fused_attention``: the pre-attention
+# LayerNorm, the fused qkv projection, the packed multi-head attention, the
+# output projection, and the residual all execute in one VMEM-resident pass
+# per image block, with both weight matrices resident across the grid. The
+# backward kernel recomputes the forward from the saved input block and
+# accumulates dW_qkv / dW_proj / LN grads into constant-index fp32 outputs
+# (same accumulation pattern as ddm_tpu.ops.mlp_block). Together with the
+# fused MLP half-block this reduces a whole DiT block to two kernels.
+# ---------------------------------------------------------------------------
+
+_LN_EPS = 1e-6
+
+
+def _ln(xf, scale, bias):
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + _LN_EPS)
+    xhat = xc * inv
+    return xhat * scale + bias, xhat, inv
+
+
+def _mha_packed_fwd(qkv, o_scratch, mask, *, bi, N, D, H, g, scale, dtype):
+    """Packed per-head attention from a (bi*N, 3D) qkv value into o_scratch.
+
+    ``qkv`` columns are [q | k | v]; rows are image-major (pack rows
+    contiguous).
+    """
+    Dh = D // H
+    P = g * N
+    for p in range(bi // g):
+        rows = slice(p * P, (p + 1) * P)
+        for h in range(H):
+            cs = slice(h * Dh, (h + 1) * Dh)
+            qh = qkv[rows, cs]
+            kh = qkv[rows, slice(D + h * Dh, D + (h + 1) * Dh)]
+            vh = qkv[rows, slice(2 * D + h * Dh, 2 * D + (h + 1) * Dh)]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale + mask
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(probs.astype(dtype), vh,
+                        preferred_element_type=jnp.float32)
+            o_scratch[rows, cs] = o.astype(dtype)
+
+
+def _blk_fwd_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                    bproj_ref, mask_ref, o_ref, qkv_scr, att_scr,
+                    *, H: int, g: int, scale: float):
+    bi, N, D = x_ref.shape
+    R = bi * N
+    xf = x_ref[:].reshape(R, D).astype(jnp.float32)
+    y, _, _ = _ln(xf, s_ref[:], b_ref[:])
+    y = y.astype(x_ref.dtype)
+    qkv = jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
+    qkv_scr[:] = qkv.astype(x_ref.dtype)
+    _mha_packed_fwd(qkv_scr[:], att_scr, mask_ref[:], bi=bi, N=N, D=D, H=H,
+                    g=g, scale=scale, dtype=x_ref.dtype)
+    out = jnp.dot(att_scr[:], wproj_ref[:],
+                  preferred_element_type=jnp.float32) + bproj_ref[:]
+    o_ref[:] = (xf + out).reshape(bi, N, D).astype(o_ref.dtype)
+
+
+def _blk_bwd_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                    bproj_ref, mask_ref, do_ref,
+                    dx_ref, ds_ref, db_ref, dwqkv_ref, dbqkv_ref,
+                    dwproj_ref, dbproj_ref,
+                    qkv_scr, att_scr, dqkv_scr,
+                    *, H: int, g: int, scale: float):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        ds_ref[:] = jnp.zeros_like(ds_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwproj_ref[:] = jnp.zeros_like(dwproj_ref)
+        dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
+
+    bi, N, D = x_ref.shape
+    Dh = D // H
+    P = g * N
+    R = bi * N
+    dtype = x_ref.dtype
+
+    # --- recompute forward ---
+    xf = x_ref[:].reshape(R, D).astype(jnp.float32)
+    y, xhat, inv = _ln(xf, s_ref[:], b_ref[:])
+    yb = y.astype(dtype)
+    qkv = jnp.dot(yb, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
+    qkv_scr[:] = qkv.astype(dtype)
+    _mha_packed_fwd(qkv_scr[:], att_scr, mask_ref[:], bi=bi, N=N, D=D, H=H,
+                    g=g, scale=scale, dtype=dtype)
+
+    # --- proj backward ---
+    do = do_ref[:].reshape(R, D).astype(jnp.float32)
+    dob = do.astype(dtype)
+    dwproj_ref[:] += jax.lax.dot_general(
+        att_scr[:], dob, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbproj_ref[:] += jnp.sum(do, axis=0, keepdims=True)
+    datt = jax.lax.dot_general(  # dO @ Wproj^T
+        dob, wproj_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+
+    # --- attention backward (recompute probs per pack/head) ---
+    for p in range(bi // g):
+        rows = slice(p * P, (p + 1) * P)
+        for h in range(H):
+            cq = slice(h * Dh, (h + 1) * Dh)
+            ck = slice(D + h * Dh, D + (h + 1) * Dh)
+            cv = slice(2 * D + h * Dh, 2 * D + (h + 1) * Dh)
+            qh = qkv_scr[rows, cq]
+            kh = qkv_scr[rows, ck]
+            vh = qkv_scr[rows, cv]
+            doh = datt[rows, cq]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s * scale + mask_ref[:]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            pb = probs.astype(dtype)
+            dv = jax.lax.dot_general(
+                pb, doh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                doh, vh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dsc = probs * (dp - jnp.sum(probs * dp, axis=-1, keepdims=True))
+            dsb = (dsc * scale).astype(dtype)
+            dq = jnp.dot(dsb, kh, preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(
+                dsb, qh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_scr[rows, cq] = dq.astype(dtype)
+            dqkv_scr[rows, ck] = dk.astype(dtype)
+            dqkv_scr[rows, cv] = dv.astype(dtype)
+
+    # --- qkv backward ---
+    dqkvb = dqkv_scr[:]
+    dwqkv_ref[:] += jax.lax.dot_general(
+        yb, dqkvb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dbqkv_ref[:] += jnp.sum(dqkvb.astype(jnp.float32), axis=0, keepdims=True)
+    dy = jax.lax.dot_general(  # dQKV @ Wqkv^T
+        dqkvb, wqkv_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    # --- LayerNorm backward + residual ---
+    ds_ref[:] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+    db_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+    dxhat = dy * s_ref[:]
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ln = inv * (dxhat - m1 - xhat * m2)
+    dx_ref[:] = (do + dx_ln).reshape(bi, N, D).astype(dx_ref.dtype)
+
+
+def attention_block_reference(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj,
+                              H: int):
+    """jnp oracle/fallback for the fused attention half-block."""
+    B, N, D = x.shape
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    y, _, _ = _ln(xf.reshape(B * N, D), scale_p, bias_p)
+    y = y.astype(dtype).reshape(B, N, D)
+    qkv = (
+        jnp.dot(y, wqkv.astype(dtype), preferred_element_type=jnp.float32)
+        + bqkv
+    ).astype(dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    o = attention_reference(q, k, v, H)
+    out = (
+        jnp.dot(o, wproj.astype(dtype), preferred_element_type=jnp.float32)
+        + bproj
+    )
+    return (xf + out).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _fused_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H: int):
+    return _fused_block_fwd_call(x, scale_p, bias_p, wqkv, bqkv, wproj,
+                                 bproj, H)
+
+
+def _blk_specs(B, N, D, bi, g):
+    row3 = pl.BlockSpec((bi, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    return row3, const
+
+
+def _fused_block_fwd_call(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H):
+    B, N, D = x.shape
+    bi, g = _choose_blocks(B, N, D)
+    bi = min(bi, 16)
+    mask = _block_mask(g, N)
+    row3, const = _blk_specs(B, N, D, bi, g)
+    Dh = D // H
+    return pl.pallas_call(
+        functools.partial(_blk_fwd_kernel, H=H, g=g, scale=Dh**-0.5),
+        out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
+        grid=(B // bi,),
+        in_specs=[row3, const((1, D)), const((1, D)), const((D, 3 * D)),
+                  const((1, 3 * D)), const((D, D)), const((1, D)),
+                  const((g * N, g * N))],
+        out_specs=row3,
+        scratch_shapes=[
+            pltpu.VMEM((bi * N, 3 * D), x.dtype),
+            pltpu.VMEM((bi * N, D), x.dtype),
+        ],
+    )(x, scale_p.reshape(1, D), bias_p.reshape(1, D), wqkv.astype(x.dtype),
+      bqkv.reshape(1, 3 * D), wproj.astype(x.dtype), bproj.reshape(1, D), mask)
+
+
+def _fused_block_fwd(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H):
+    out = _fused_block_fwd_call(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H)
+    return out, (x, scale_p, bias_p, wqkv, bqkv, wproj, bproj)
+
+
+def _fused_block_bwd(H, res, do):
+    x, scale_p, bias_p, wqkv, bqkv, wproj, bproj = res
+    B, N, D = x.shape
+    bi, g = _choose_blocks(B, N, D)
+    bi = min(bi, 8)  # backward holds more live state in VMEM
+    mask = _block_mask(g, N)
+    row3, const = _blk_specs(B, N, D, bi, g)
+    Dh = D // H
+    outs = pl.pallas_call(
+        functools.partial(_blk_bwd_kernel, H=H, g=g, scale=Dh**-0.5),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, D), x.dtype),       # dx
+            jax.ShapeDtypeStruct((1, D), jnp.float32),      # dscale
+            jax.ShapeDtypeStruct((1, D), jnp.float32),      # dbias
+            jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),  # dwqkv
+            jax.ShapeDtypeStruct((1, 3 * D), jnp.float32),  # dbqkv
+            jax.ShapeDtypeStruct((D, D), jnp.float32),      # dwproj
+            jax.ShapeDtypeStruct((1, D), jnp.float32),      # dbproj
+        ),
+        grid=(B // bi,),
+        in_specs=[row3, const((1, D)), const((1, D)), const((D, 3 * D)),
+                  const((1, 3 * D)), const((D, D)), const((1, D)),
+                  const((g * N, g * N)), row3],
+        out_specs=(row3, const((1, D)), const((1, D)), const((D, 3 * D)),
+                   const((1, 3 * D)), const((D, D)), const((1, D))),
+        scratch_shapes=[
+            pltpu.VMEM((bi * N, 3 * D), x.dtype),
+            pltpu.VMEM((bi * N, D), x.dtype),
+            pltpu.VMEM((bi * N, 3 * D), x.dtype),
+        ],
+    )(x, scale_p.reshape(1, D), bias_p.reshape(1, D), wqkv.astype(x.dtype),
+      bqkv.reshape(1, 3 * D), wproj.astype(x.dtype), bproj.reshape(1, D),
+      mask, do)
+    dx, ds, db, dwqkv, dbqkv, dwproj, dbproj = outs
+    return (dx, ds.reshape(D), db.reshape(D), dwqkv, dbqkv.reshape(3 * D),
+            dwproj, dbproj.reshape(D))
+
+
+_fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
+
+
+def fused_attention_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj,
+                          H: int):
+    """``x + proj(MHA(qkv(LN(x))))`` over (B, N, D) tokens; kernel on TPU.
+
+    Falls back to :func:`attention_block_reference` off-TPU or for
+    unsupported shapes. Differentiable either way.
+    """
+    B, N, D = x.shape
+    Dh = D // H
+    supported = (
+        jax.default_backend() == "tpu"
+        and N % 8 == 0
+        and N <= 512
+        and Dh % 8 == 0
+        and D % 128 == 0
+        and B % min(_choose_blocks(B, N, D)[0], 8) == 0
+    )
+    if not supported:
+        return attention_block_reference(x, scale_p, bias_p, wqkv, bqkv,
+                                         wproj, bproj, H)
+    return _fused_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H)

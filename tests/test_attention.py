@@ -82,6 +82,52 @@ def test_fused_attention_cpu_fallback_is_reference():
     )
 
 
+def _block_args(B=16, N=64, H=6, Dh=64, seed=1):
+    D = H * Dh
+    ks = jax.random.split(jax.random.PRNGKey(seed), 8)
+    return (
+        jax.random.normal(ks[0], (B, N, D)),
+        1.0 + 0.1 * jax.random.normal(ks[1], (D,)),
+        0.1 * jax.random.normal(ks[2], (D,)),
+        0.05 * jax.random.normal(ks[3], (D, 3 * D)),
+        0.05 * jax.random.normal(ks[4], (3 * D,)),
+        0.05 * jax.random.normal(ks[5], (D, D)),
+        0.05 * jax.random.normal(ks[6], (D,)),
+    )
+
+
+def test_fused_block_matches_reference(interpret_kernels):
+    args = _block_args()
+    want = A.attention_block_reference(*args, 6)
+    got = A._fused_block(*args, 6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_block_gradients_match(interpret_kernels):
+    args = _block_args(B=8)
+    do = jax.random.normal(jax.random.PRNGKey(9), args[0].shape)
+    f_ref = lambda *a: jnp.vdot(A.attention_block_reference(*a, 6), do)
+    f_ker = lambda *a: jnp.vdot(A._fused_block(*a, 6), do)
+    gr = jax.grad(f_ref, argnums=tuple(range(7)))(*args)
+    gk = jax.grad(f_ker, argnums=tuple(range(7)))(*args)
+    names = ["x", "ln_scale", "ln_bias", "wqkv", "bqkv", "wproj", "bproj"]
+    for n, a, b in zip(names, gr, gk):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=3e-6,
+            err_msg=f"grad mismatch for {n}",
+        )
+
+
+def test_fused_block_cpu_fallback_is_reference():
+    args = _block_args(B=4)
+    np.testing.assert_array_equal(
+        np.asarray(A.fused_attention_block(*args, 6)),
+        np.asarray(A.attention_block_reference(*args, 6)),
+    )
+
+
 def test_flash_wrapper_layout_roundtrip(interpret_kernels):
     B, N, H, Dh = 8, 64, 6, 64
     q4 = jax.random.normal(jax.random.PRNGKey(3), (B, N, H, Dh))
