@@ -55,6 +55,7 @@ def make_sharded_train_step(
     lam: float,
     w_bias: float,
     preprocess: Optional[PreprocessFn] = None,
+    dp_shard_map: Optional[bool] = None,
 ):
     """Build a jitted ``(state, key, batch) -> (state, metrics)`` step.
 
@@ -66,6 +67,14 @@ def make_sharded_train_step(
         preprocess: optional on-device ``(key, raw_batch) -> x0`` hook (e.g.
             uint8 -> augment -> normalize); runs inside the compiled step so
             augmentation fuses with the forward pass.
+        dp_shard_map: express data parallelism via ``shard_map`` (per-shard
+            SPMD bodies with an explicit gradient ``pmean``) instead of
+            jit-level shardings. REQUIRED for the Pallas-fused model on
+            multi-chip meshes: XLA's SPMD partitioner cannot split a
+            ``pallas_call``, so under jit-sharding it would gather the
+            global batch onto every chip; under ``shard_map`` each kernel
+            sees only its local shard. Defaults to True exactly when the
+            mesh is pure data parallelism (no ``model`` axis extent).
 
     The raw batch is expected sharded over ``data`` on its leading axis; the
     returned metrics are fully-reduced replicated scalars.
@@ -73,8 +82,14 @@ def make_sharded_train_step(
     loss_fn = make_loss_fn(apply_fn, m=m, beta=beta, lam=lam, w_bias=w_bias)
     batch_spec = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())
+    if dp_shard_map is None:
+        dp_shard_map = mesh.shape.get("model", 1) == 1
 
     def step(state: TrainState, key: jax.Array, batch: jnp.ndarray):
+        if dp_shard_map:
+            # decorrelate per-shard noise: every shard sees the same key
+            # (replicated), so fold in the shard index
+            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
         if preprocess is not None:
             kpre, key = jax.random.split(key)
             x0 = preprocess(kpre, batch)
@@ -83,8 +98,29 @@ def make_sharded_train_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, key, x0
         )
+        if dp_shard_map:
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            metrics = jax.tree.map(lambda v: jax.lax.pmean(v, DATA_AXIS), metrics)
         new_state = state.apply_gradients(grads=grads)
         return new_state, metrics
+
+    if dp_shard_map:
+        shard_map = jax.shard_map
+
+        state_specs = jax.tree.map(lambda s: s.spec, state_shardings)
+        body = shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(state_specs, P(), P(DATA_AXIS)),
+            out_specs=(state_specs, P()),
+            check_vma=False,
+        )
+        return jax.jit(
+            body,
+            in_shardings=(state_shardings, repl, batch_spec),
+            out_shardings=(state_shardings, repl),
+            donate_argnums=(0,),
+        )
 
     return jax.jit(
         step,

@@ -91,6 +91,12 @@ def maybe_init_wandb(args: argparse.Namespace):
 
 def build_model(args: argparse.Namespace) -> DDDMDiT:
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
+    if args.tp > 1 and args.attention != "xla":
+        # Pallas kernels can't be split by XLA's SPMD partitioner; tensor
+        # parallelism therefore runs the unfused XLA block (data parallelism
+        # uses shard_map, where the kernels see local shards and stay on).
+        print("[tp] tensor parallelism uses the unfused XLA block", flush=True)
+        args.attention = "xla"
     return DDDMDiT(
         img_size=args.image_size,
         patch_size=args.patch_size,
@@ -104,6 +110,7 @@ def build_model(args: argparse.Namespace) -> DDDMDiT:
         dtype=dtype,
         data_format="NHWC",  # loader yields NHWC; TPU-preferred layout
         attention_impl=args.attention,
+        fused_mlp=args.tp == 1,
     )
 
 
