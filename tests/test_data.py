@@ -71,6 +71,29 @@ def test_augment_shapes_and_range(key):
     assert o.min() >= -1.0 and o.max() <= 1.0
 
 
+def test_augment_matches_dynamic_slice_oracle(key):
+    """The gather-based crop must equal an explicit per-sample dynamic slice
+    with the same offsets/flips (regression for the 11x-faster rewrite)."""
+    batch = jnp.asarray(
+        np.random.default_rng(1).integers(0, 256, (4, 32, 32, 3), dtype=np.uint8)
+    )
+    got = np.asarray(augment_cifar10(key, batch))
+
+    pad = 4
+    kc, kf = jax.random.split(key)
+    x = normalize_images(batch)
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    off = jax.random.randint(kc, (4, 2), 0, 2 * pad + 1)
+    crops = jax.vmap(
+        lambda img, o: jax.lax.dynamic_slice(img, (o[0], o[1], 0), (32, 32, 3))
+    )(x, off)
+    flips = jax.random.bernoulli(kf, 0.5, (4,))
+    want = np.asarray(
+        jnp.where(flips[:, None, None, None], crops[:, :, ::-1, :], crops)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_augment_is_identity_distribution_preserving(key):
     """Center crop content must appear somewhere: zero-pad-free reflect crop
     keeps pixel value multiset within the padded neighbourhood."""
