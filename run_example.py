@@ -61,8 +61,12 @@ def main() -> None:
                    help="sampler churn (reference hardcodes 1.0 on the toy "
                         "path; 0.0 gives the deterministic bridge and "
                         "markedly better toy MMD)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (numerics debugging; slow)")
     args = p.parse_args()
     apply_config(p, args)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     cfg = TrainConfig(
         beta=args.beta,

@@ -437,9 +437,13 @@ def main(argv: Optional[list] = None) -> None:
     parser.add_argument("--log-every", type=int, default=50,
                         help="progress-bar metric refresh cadence in batches "
                              "(each refresh costs one device sync)")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (numerics debugging; slow)")
     args = parser.parse_args(argv)
     apply_config(parser, args)
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if args.m < 2:
         parser.error("m must be >= 2 for the generalized energy score")
     if args.eval_every > 0 and args.eval_samples <= 0:
