@@ -13,6 +13,24 @@ symbol they expect, plus the TPU-native additions (mesh/parallel utilities,
 checkpoint resume, profiling).
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache by default: Pallas kernel compiles are
+# expensive (minutes through remote-compile TPU relays) and fully cacheable.
+# Honour an explicit JAX_COMPILATION_CACHE_DIR; otherwise use a user cache.
+try:  # pragma: no cover - environment-dependent
+    _cache = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/ddm_tpu/jax_cache"),
+    )
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001 - cache is an optimisation, never fatal
+    pass
+
 from .training import (
     TrainConfig,
     TrainState,
