@@ -160,7 +160,8 @@ def _row_block(T: int, D: int, F: int) -> int:
     while T % rb != 0 and rb > 8:
         rb //= 2
     # keep block activations (x, h, g, temporaries) comfortably in VMEM
-    while rb > 8 and rb * (D * 8 + F * 8) > 6 * 1024 * 1024:
+    # (8 MB bound measured as the largest that compiles at D=384/F=1536)
+    while rb > 8 and rb * (D * 8 + F * 8) > 8 * 1024 * 1024:
         rb //= 2
     return rb
 
