@@ -327,7 +327,9 @@ class InceptionEmbedding:
                 "consistent but NOT comparable to torchvision-FID."
             )
             dummy = jnp.zeros((1, 299, 299, 3), jnp.float32)
-            self.params = self.model.init(jax.random.PRNGKey(0), dummy)
+            # jit the init: unjitted flax init evaluates hundreds of ops
+            # eagerly, which is minutes through remote-TPU relays
+            self.params = jax.jit(self.model.init)(jax.random.PRNGKey(0), dummy)
 
         self._apply = jax.jit(
             partial(self._forward), static_argnames=("resize",)

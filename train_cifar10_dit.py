@@ -62,7 +62,7 @@ from ddm_tpu.training import TrainState
 from ddm_tpu.utils import checkpoint as ckpt_lib
 from ddm_tpu.utils.config import apply_config
 from ddm_tpu.utils.plotting import plot_training_curves, save_image_grid
-from ddm_tpu.utils.profiling import Throughput, trace
+from ddm_tpu.utils.profiling import trace
 
 
 def _serialize_history(history: Dict[str, list]) -> dict:
@@ -181,7 +181,6 @@ def train(args: argparse.Namespace) -> None:
     train_history: Dict[str, list] = {"step": []}
     epoch_history: Dict[str, list] = {"epoch": []}
     eval_history: Dict[str, list] = {"epoch": []}
-    throughput = Throughput()
     steps_per_epoch = len(train_loader)
 
     from tqdm.auto import tqdm
@@ -202,13 +201,6 @@ def train(args: argparse.Namespace) -> None:
                 state, metrics = step_fn(state, step_key, shard_batch(images, mesh))
                 global_step += 1
                 pending.append(metrics)
-                throughput.update(images.shape[0])
-                if epoch == start_epoch and batch_idx == 0:
-                    # force one hard sync so compile time is excluded from the
-                    # throughput window (block_until_ready can return early
-                    # through remote-TPU relays; a value fetch cannot)
-                    float(metrics["loss"])
-                    throughput.reset()
                 if (batch_idx + 1) % max(args.log_every, 1) == 0:
                     # one bounded sync per log window, reference-parity postfix
                     vals = jax.device_get(metrics)
@@ -240,11 +232,11 @@ def train(args: argparse.Namespace) -> None:
             num_batches = max(len(flushed), 1)
             epoch_avg = {k: epoch_sums[k] / num_batches for k in epoch_sums}
             img_per_sec = num_batches * args.batch / (time.perf_counter() - epoch_t0)
+            n_chips = max(jax.local_device_count(), 1)
             summary = " ".join(f"{k}={epoch_avg[k]:.4f}" for k in sorted(epoch_avg))
             print(
                 f"[epoch {epoch:03d}] {summary} "
-                f"({img_per_sec:.0f} img/s, "
-                f"{throughput.per_chip:.0f} img/s/chip steady)",
+                f"({img_per_sec:.0f} img/s, {img_per_sec / n_chips:.0f} img/s/chip)",
                 flush=True,
             )
 
