@@ -49,6 +49,10 @@ def main() -> None:
     p.add_argument("--attention", type=str, default="auto",
                    choices=["auto", "xla", "flash"])
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--steps-per-scan", type=int, default=1,
+                   help="optimizer steps fused per compiled program "
+                        "(async dispatch already pipelines at this step "
+                        "size; >1 helps only for much smaller models)")
     args = p.parse_args()
 
     from ddm_tpu.data.augment import augment_cifar10
@@ -81,32 +85,39 @@ def main() -> None:
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     state, shardings = place_train_state(state, mesh, rules)
 
+    K = max(args.steps_per_scan, 1)
     step = make_sharded_train_step(
         model.apply, mesh, shardings, m=args.m, beta=0.1, lam=1.0, w_bias=0.0,
         preprocess=lambda k, b: augment_cifar10(k, b),
+        steps_per_scan=K,
     )
 
+    shape = (args.batch, 32, 32, 3) if K == 1 else (K, args.batch, 32, 32, 3)
     batch = shard_batch(
-        np.random.default_rng(0).integers(
-            0, 256, size=(args.batch, 32, 32, 3), dtype=np.uint8
-        ),
+        np.random.default_rng(0).integers(0, 256, size=shape, dtype=np.uint8),
         mesh,
     )
 
-    for i in range(args.warmup):
+    def last_loss(metrics):
+        v = metrics["loss"]
+        return float(v if K == 1 else v[-1])
+
+    for i in range(max(args.warmup // K, 1)):
         state, metrics = step(state, jax.random.fold_in(key, i), batch)
     # sync via a value fetch: through remote-TPU relays (axon),
     # block_until_ready can return before execution completes, but a
     # device->host scalar transfer cannot
-    float(metrics["loss"])
+    last_loss(metrics)
 
+    n_calls = max(args.steps // K, 1)
     t0 = time.perf_counter()
-    for i in range(args.steps):
+    for i in range(n_calls):
         state, metrics = step(state, jax.random.fold_in(key, 1000 + i), batch)
-    final_loss = float(metrics["loss"])
+    final_loss = last_loss(metrics)
     dt = time.perf_counter() - t0
 
-    imgs_per_sec = args.steps * args.batch / dt
+    total_steps = n_calls * K
+    imgs_per_sec = total_steps * args.batch / dt
     per_chip = imgs_per_sec / n_chips
     print(json.dumps({
         "metric": "cifar10_dit_train_images_per_sec_per_chip",
@@ -118,7 +129,8 @@ def main() -> None:
         "batch": args.batch,
         "m": args.m,
         "dtype": args.dtype,
-        "step_ms": round(1000 * dt / args.steps, 2),
+        "step_ms": round(1000 * dt / total_steps, 2),
+        "steps_per_scan": K,
         "loss": final_loss,
     }))
 

@@ -56,6 +56,7 @@ def make_sharded_train_step(
     w_bias: float,
     preprocess: Optional[PreprocessFn] = None,
     dp_shard_map: Optional[bool] = None,
+    steps_per_scan: int = 1,
 ):
     """Build a jitted ``(state, key, batch) -> (state, metrics)`` step.
 
@@ -75,6 +76,11 @@ def make_sharded_train_step(
             global batch onto every chip; under ``shard_map`` each kernel
             sees only its local shard. Defaults to True exactly when the
             mesh is pure data parallelism (no ``model`` axis extent).
+        steps_per_scan: fuse K optimizer steps into one compiled program via
+            ``lax.scan``; the returned callable then takes a stacked batch
+            ``(K, B, ...)`` (batch axis sharded over ``data``) and returns
+            stacked per-step metrics ``(K,)``. Amortises per-dispatch
+            overhead (measured ~5 ms through remote-TPU relays).
 
     The raw batch is expected sharded over ``data`` on its leading axis; the
     returned metrics are fully-reduced replicated scalars.
@@ -104,14 +110,29 @@ def make_sharded_train_step(
         new_state = state.apply_gradients(grads=grads)
         return new_state, metrics
 
+    if steps_per_scan > 1:
+        inner = step
+
+        def step(state: TrainState, key: jax.Array, batches: jnp.ndarray):
+            keys = jax.random.split(key, steps_per_scan)
+
+            def body(s, inp):
+                k, b = inp
+                return inner(s, k, b)
+
+            return jax.lax.scan(body, state, (keys, batches))
+
+        batch_spec = NamedSharding(mesh, P(None, DATA_AXIS))
+
     if dp_shard_map:
         shard_map = jax.shard_map
 
         state_specs = jax.tree.map(lambda s: s.spec, state_shardings)
+        batch_pspec = P(None, DATA_AXIS) if steps_per_scan > 1 else P(DATA_AXIS)
         body = shard_map(
             step,
             mesh=mesh,
-            in_specs=(state_specs, P(), P(DATA_AXIS)),
+            in_specs=(state_specs, P(), batch_pspec),
             out_specs=(state_specs, P()),
             check_vma=False,
         )
