@@ -53,6 +53,14 @@ def main() -> None:
                    help="optimizer steps fused per compiled program "
                         "(async dispatch already pipelines at this step "
                         "size; >1 helps only for much smaller models)")
+    # model scale (defaults = DiT-S/4 paper config; see configs/cifar10_dit_b.yaml
+    # for the scaled-depth/width benchmark configuration)
+    p.add_argument("--embed-dim", type=int, default=384)
+    p.add_argument("--depth", type=int, default=8)
+    p.add_argument("--heads", type=int, default=6)
+    p.add_argument("--patch-size", type=int, default=4)
+    p.add_argument("--remat", action="store_true",
+                   help="checkpoint each block (needed for DiT-B+ at batch 256)")
     args = p.parse_args()
 
     from ddm_tpu.data.augment import augment_cifar10
@@ -72,10 +80,11 @@ def main() -> None:
     rules = DIT_TP_RULES if args.tp > 1 else REPLICATED_RULES
 
     model = DDDMDiT(
-        img_size=32, patch_size=4, embed_dim=384, depth=8, num_heads=6,
-        time_embed_dim=256,
+        img_size=32, patch_size=args.patch_size, embed_dim=args.embed_dim,
+        depth=args.depth, num_heads=args.heads, time_embed_dim=256,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         data_format="NHWC", attention_impl=args.attention,
+        fused_mlp=args.tp == 1, remat=args.remat,
     )
     key = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
@@ -131,6 +140,7 @@ def main() -> None:
         "dtype": args.dtype,
         "step_ms": round(1000 * dt / total_steps, 2),
         "steps_per_scan": K,
+        "model": f"dim{args.embed_dim}-d{args.depth}-h{args.heads}-p{args.patch_size}",
         "loss": final_loss,
     }))
 

@@ -234,6 +234,8 @@ class DDDMDiT(nn.Module):
     data_format: str = "NCHW"  # public API layout; internal compute is NHWC
     attention_impl: str = "auto"
     fused_mlp: bool = True
+    remat: bool = False  # checkpoint each block: trade FLOPs for HBM
+                         # (needed for DiT-B+ widths at the paper's B*m=2048)
 
     def setup(self):
         if self.img_size % self.patch_size != 0:
@@ -251,8 +253,9 @@ class DDDMDiT(nn.Module):
             nn.Dense(self.embed_dim, dtype=self.dtype, name="time_mlp_0"),
             nn.Dense(self.embed_dim, dtype=self.dtype, name="time_mlp_1"),
         ]
+        block_cls = nn.remat(DiTBlock) if self.remat else DiTBlock
         self.blocks = [
-            DiTBlock(
+            block_cls(
                 self.embed_dim,
                 self.num_heads,
                 self.mlp_ratio,

@@ -415,8 +415,16 @@ def _blk_bwd_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
 
 
 def attention_block_reference(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj,
-                              H: int):
-    """jnp oracle/fallback for the fused attention half-block."""
+                              H: int, attention_fn=None):
+    """jnp oracle/fallback for the fused attention half-block.
+
+    ``attention_fn`` defaults to the exact XLA :func:`attention_reference`;
+    the large-D fallback passes :func:`fused_attention` so the attention
+    core still runs the Pallas kernel even when the full half-block does
+    not fit VMEM.
+    """
+    if attention_fn is None:
+        attention_fn = attention_reference
     B, N, D = x.shape
     dtype = x.dtype
     xf = x.astype(jnp.float32)
@@ -427,7 +435,7 @@ def attention_block_reference(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj,
         + bqkv
     ).astype(dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    o = attention_reference(q, k, v, H)
+    o = attention_fn(q, k, v, H)
     out = (
         jnp.dot(o, wproj.astype(dtype), preferred_element_type=jnp.float32)
         + bproj
@@ -517,24 +525,47 @@ def _fused_block_bwd(H, res, do):
 _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
+def _block_vmem_fits(N: int, D: int, g: int, bi_bwd: int = 8) -> bool:
+    """Conservative VMEM estimate for the half-block BACKWARD kernel.
+
+    Fixed residents: wqkv/wproj (bf16) + their fp32 grad accumulators +
+    the pack mask; per-block: x/do/dx rows, qkv/dqkv/attn-out scratch,
+    plus fp32 softmax temporaries. Must stay under ~14 MB of the 16 MB
+    VMEM (slack for Mosaic's own buffers/pipelining).
+    """
+    fixed = (D * 3 * D + D * D) * (2 + 4) + (g * N) ** 2 * 4
+    per_bi = N * (3 * D * 2 * 2 + D * 2 * 3 + D * 2)  # scratches + row blocks
+    temps = 3 * (g * N) ** 2 * 4
+    return fixed + bi_bwd * per_bi + temps < 14 * 1024 * 1024
+
+
 def fused_attention_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj,
                           H: int):
     """``x + proj(MHA(qkv(LN(x))))`` over (B, N, D) tokens; kernel on TPU.
 
-    Falls back to :func:`attention_block_reference` off-TPU or for
-    unsupported shapes. Differentiable either way.
+    For configurations whose weight-gradient accumulators do not fit VMEM
+    (the dW blocks scale with D^2 — DiT-B width and beyond), the LN/qkv/proj
+    run in XLA while the attention core still uses the standalone Pallas
+    kernel. Off-TPU everything falls back to the jnp reference.
+    Differentiable on every path.
     """
     B, N, D = x.shape
     Dh = D // H
+    if jax.default_backend() != "tpu":
+        return attention_block_reference(x, scale_p, bias_p, wqkv, bqkv,
+                                         wproj, bproj, H)
+    bi, g = _choose_blocks(B, N, D)
     supported = (
-        jax.default_backend() == "tpu"
-        and N % 8 == 0
+        N % 8 == 0
         and N <= 512
         and Dh % 8 == 0
         and D % 128 == 0
-        and B % min(_choose_blocks(B, N, D)[0], 8) == 0
+        and B % min(bi, 8) == 0
+        and _block_vmem_fits(N, D, g)
     )
     if not supported:
-        return attention_block_reference(x, scale_p, bias_p, wqkv, bqkv,
-                                         wproj, bproj, H)
+        return attention_block_reference(
+            x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H,
+            attention_fn=fused_attention,
+        )
     return _fused_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H)

@@ -159,9 +159,12 @@ def _row_block(T: int, D: int, F: int) -> int:
     rb = 1024
     while T % rb != 0 and rb > 8:
         rb //= 2
-    # keep block activations (x, h, g, temporaries) comfortably in VMEM
-    # (8 MB bound measured as the largest that compiles at D=384/F=1536)
-    while rb > 8 and rb * (D * 8 + F * 8) > 8 * 1024 * 1024:
+    # Budget: fixed VMEM residents (both weight matrices bf16 + both fp32
+    # grad accumulators in the backward kernel = 12*D*F bytes) plus the row
+    # block's activations must stay inside VMEM. The 15 MB combined bound is
+    # the largest measured to compile at D=384/F=1536 (rb=512).
+    fixed = 12 * D * F
+    while rb > 8 and fixed + rb * (D * 8 + F * 8) > 15 * 1024 * 1024:
         rb //= 2
     return rb
 
@@ -251,11 +254,13 @@ def fused_mlp_block(x, scale, bias, w1, b1, w2, b2):
     """
     T, D = x.shape
     F = w1.shape[1]
+    rb = _row_block(T, D, F)
     supported = (
         jax.default_backend() == "tpu"
         and D % 128 == 0
         and F % 128 == 0
-        and T % _row_block(T, D, F) == 0
+        and T % rb == 0
+        and 12 * D * F + rb * (D * 8 + F * 8) < 15 * 1024 * 1024
     )
     if not supported:
         return mlp_block_reference(x, scale, bias, w1, b1, w2, b2,

@@ -114,6 +114,23 @@ def test_patchify_unpatchify_inverse(key):
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
+def test_dit_remat_matches_plain(key):
+    """remat=True is a memory/FLOPs trade, not a numerics change."""
+    kwargs = dict(img_size=8, patch_size=2, embed_dim=32, depth=2,
+                  num_heads=2, time_embed_dim=16, data_format="NHWC")
+    m0 = DDDMDiT(remat=False, **kwargs)
+    m1 = DDDMDiT(remat=True, **kwargs)
+    xt = jax.random.normal(key, (2, 8, 8, 3))
+    t = jnp.full((2,), 0.5)
+    params = m0.init(key, xt, t, xt)
+    o0 = m0.apply(params, xt, t, xt)
+    o1 = m1.apply(params, xt, t, xt)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-6)
+    # gradients flow through the checkpointed blocks
+    g = jax.grad(lambda p: jnp.sum(m1.apply(p, xt, t, xt) ** 2))(params)
+    assert np.all(np.isfinite(np.asarray(jax.tree.leaves(g)[0])))
+
+
 def test_dit_bf16_compute_close_to_fp32(key):
     kwargs = dict(img_size=8, patch_size=2, embed_dim=32, depth=2,
                   num_heads=2, time_embed_dim=16)

@@ -111,6 +111,7 @@ def build_model(args: argparse.Namespace) -> DDDMDiT:
         data_format="NHWC",  # loader yields NHWC; TPU-preferred layout
         attention_impl=args.attention,
         fused_mlp=args.tp == 1,
+        remat=args.remat,
     )
 
 
@@ -431,6 +432,9 @@ def main(argv: Optional[list] = None) -> None:
                              "(each refresh costs one device sync)")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (numerics debugging; slow)")
+    parser.add_argument("--remat", action="store_true",
+                        help="checkpoint each DiT block: trades ~30% extra "
+                             "FLOPs for activation memory (DiT-B+ widths)")
     args = parser.parse_args(argv)
     apply_config(parser, args)
 
