@@ -61,6 +61,10 @@ def main() -> None:
     p.add_argument("--patch-size", type=int, default=4)
     p.add_argument("--remat", action="store_true",
                    help="checkpoint each block (needed for DiT-B+ at batch 256)")
+    p.add_argument("--mode", type=str, default="train",
+                   choices=["train", "sample"],
+                   help="train: images/sec/chip of the training step; "
+                        "sample: samples/sec of the 20-step reverse sampler")
     args = p.parse_args()
 
     from ddm_tpu.data.augment import augment_cifar10
@@ -93,6 +97,36 @@ def main() -> None:
                      optax.adamw(1e-4, weight_decay=0.01))
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     state, shardings = place_train_state(state, mesh, rules)
+
+    if args.mode == "sample":
+        from ddm_tpu.sampling import sample_dddm
+
+        skey = jax.random.PRNGKey(1)
+        B = args.batch
+        def draw(k):
+            return sample_dddm(model.apply, state.params, k, n_samples=B,
+                               steps=20, eps_churn=0.0,
+                               data_shape=(32, 32, 3))
+        x = draw(skey)
+        float(x.ravel()[0])  # hard sync past compile
+        t0 = time.perf_counter()
+        n = max(args.steps // 3, 3)
+        for i in range(n):
+            x = draw(jax.random.fold_in(skey, i))
+        float(x.ravel()[0])
+        dt = time.perf_counter() - t0
+        sps = n * B / dt
+        # analytic baseline analogous to the training one: 20 denoiser
+        # forwards/sample ~= 38 GFLOPs; eager A100 @ ~20% peak -> ~1630/s
+        print(json.dumps({
+            "metric": "cifar10_dit_sample_samples_per_sec_per_chip",
+            "value": round(sps / n_chips, 2),
+            "unit": "samples/sec/chip",
+            "vs_baseline": round(sps / n_chips / 1630.0, 3),
+            "chips": n_chips, "batch": B, "sampler_steps": 20,
+            "model": f"dim{args.embed_dim}-d{args.depth}-h{args.heads}-p{args.patch_size}",
+        }))
+        return
 
     K = max(args.steps_per_scan, 1)
     step = make_sharded_train_step(
