@@ -487,8 +487,8 @@ def _fused_block_fwd(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H):
 def _fused_block_bwd(H, res, do):
     x, scale_p, bias_p, wqkv, bqkv, wproj, bproj = res
     B, N, D = x.shape
-    bi, g = _choose_blocks(B, N, D)
-    bi = min(bi, 8)  # backward holds more live state in VMEM
+    _, g = _choose_blocks(B, N, D)
+    bi = _bwd_block_images(B, N, D, g)  # backward holds more live state
     mask = _block_mask(g, N)
     row3, const = _blk_specs(B, N, D, bi, g)
     Dh = D // H
@@ -525,18 +525,26 @@ def _fused_block_bwd(H, res, do):
 _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 
-def _block_vmem_fits(N: int, D: int, g: int, bi_bwd: int = 8) -> bool:
-    """Conservative VMEM estimate for the half-block BACKWARD kernel.
+def _bwd_block_images(B: int, N: int, D: int, g: int) -> int:
+    """Largest backward image-block that fits the VMEM estimate (0 if none).
 
     Fixed residents: wqkv/wproj (bf16) + their fp32 grad accumulators +
-    the pack mask; per-block: x/do/dx rows, qkv/dqkv/attn-out scratch,
-    plus fp32 softmax temporaries. Must stay under ~14 MB of the 16 MB
-    VMEM (slack for Mosaic's own buffers/pipelining).
+    the pack mask + fp32 softmax temporaries; per-image: x/do/dx rows and
+    the qkv/dqkv/attn-out scratch. Budget ~14 MB of the 16 MB VMEM (slack
+    for Mosaic's own buffers/pipelining).
     """
     fixed = (D * 3 * D + D * D) * (2 + 4) + (g * N) ** 2 * 4
-    per_bi = N * (3 * D * 2 * 2 + D * 2 * 3 + D * 2)  # scratches + row blocks
+    # per-image: x/do/dx rows + bf16 scratches (qkv, dqkv, attn-out) + the
+    # fp32 recompute temporaries (qkv, LN activations, dy) ~= 52*N*D bytes
+    # (calibrated so DiT-S bi=8 passes and the measured N=256 OOM fails)
+    per_bi = 52 * N * D
     temps = 3 * (g * N) ** 2 * 4
-    return fixed + bi_bwd * per_bi + temps < 14 * 1024 * 1024
+    bi = 8
+    while bi >= g:
+        if B % bi == 0 and fixed + bi * per_bi + temps < 14500 * 1024:
+            return bi
+        bi //= 2
+    return 0
 
 
 def fused_attention_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj,
@@ -560,8 +568,8 @@ def fused_attention_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj,
         and N <= 512
         and Dh % 8 == 0
         and D % 128 == 0
-        and B % min(bi, 8) == 0
-        and _block_vmem_fits(N, D, g)
+        and B % bi == 0
+        and _bwd_block_images(B, N, D, g) >= g
     )
     if not supported:
         return attention_block_reference(
