@@ -20,14 +20,18 @@ import jax as _jax
 # Persistent compilation cache by default: Pallas kernel compiles are
 # expensive (minutes through remote-compile TPU relays) and fully cacheable.
 # Honour an explicit JAX_COMPILATION_CACHE_DIR; otherwise use a user cache.
+# Skipped on pure-CPU runs: XLA:CPU AOT cache entries embed host machine
+# features and can SIGILL when loaded on a different host (observed warning),
+# and CPU compiles are cheap anyway.
 try:  # pragma: no cover - environment-dependent
-    _cache = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        _os.path.expanduser("~/.cache/ddm_tpu/jax_cache"),
-    )
-    _os.makedirs(_cache, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cache)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if _os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        _cache = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/ddm_tpu/jax_cache"),
+        )
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # noqa: BLE001 - cache is an optimisation, never fatal
     pass
 
