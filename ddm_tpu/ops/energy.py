@@ -55,13 +55,21 @@ def _dpow_beta(d2: jnp.ndarray, beta: float) -> jnp.ndarray:
 
 
 def _choose_bb(B: int, m: int, D: int) -> int:
+    """Image-block size: must divide B and satisfy the TPU sublane rule
+    (second-to-last block dim divisible by 8, or equal to the full axis —
+    the (bb, D) x0 block makes bb the sublane dim)."""
     bb = 8
     while B % bb != 0 and bb > 1:
         bb //= 2
-    # keep the (bb, m, D) fp32 block and temporaries well under VMEM
-    while bb > 1 and bb * m * D * 4 > 2 * 1024 * 1024:
-        bb //= 2
     return max(bb, 1)
+
+
+def _kernel_supported(B: int, m: int, D: int) -> bool:
+    bb = _choose_bb(B, m, D)
+    sublane_ok = bb % 8 == 0 or bb == B
+    # (bb, m, D) fp32 blocks (input + grads in bwd) must stay modest in VMEM
+    vmem_ok = bb * m * D * 4 <= 4 * 1024 * 1024
+    return B % bb == 0 and sublane_ok and vmem_ok and m >= 2 and D % 128 == 0
 
 
 def _fwd_kernel(xh_ref, x0_ref, conf_ref, inter_ref, *, m: int, beta: float):
@@ -189,12 +197,6 @@ def fused_energy_terms(
     toy sizes).
     """
     B, m, D = x0hats.shape
-    supported = (
-        jax.default_backend() == "tpu"
-        and D % 128 == 0
-        and m >= 2
-        and B % _choose_bb(B, m, D) == 0
-    )
-    if not supported:
+    if jax.default_backend() != "tpu" or not _kernel_supported(B, m, D):
         return _jnp_energy_terms(x0hats, x0, beta)
     return _fused(x0hats.astype(jnp.float32), x0.astype(jnp.float32), beta)
