@@ -45,7 +45,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_attention", "flash_attention", "attention_reference"]
+__all__ = [
+    "fused_attention",
+    "flash_attention",
+    "attention_reference",
+    "fused_attention_block",
+    "attention_block_reference",
+]
 
 
 def _choose_blocks(B: int, N: int, D: int, dtype_bytes: int = 2):
