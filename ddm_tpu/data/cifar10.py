@@ -159,13 +159,24 @@ class ArrayLoader:
         normalize: bool,
         image_size: int = 32,
         seed: int = 0,
+        process_index: int = 0,
+        process_count: int = 1,
     ) -> None:
+        """``batch_size`` is the GLOBAL batch; with ``process_count > 1``
+        every process draws the same seeded epoch permutation and yields its
+        own ``batch_size // process_count`` slice of each global batch (the
+        multi-host data-parallel contract: local shards assemble into the
+        global array via ``jax.make_array_from_process_local_data``)."""
+        if batch_size % process_count != 0:
+            raise ValueError("global batch must divide evenly across processes")
         self.data = data
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.normalize = normalize
         self.image_size = image_size
+        self.process_index = process_index
+        self.process_count = process_count
         self._rng = np.random.default_rng(seed)
         if image_size != 32:
             # Nearest-neighbour host resize; the reference uses PIL bilinear
@@ -198,8 +209,12 @@ class ArrayLoader:
         n = self.data.images.shape[0]
         order = self._rng.permutation(n) if self.shuffle else np.arange(n)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        local = self.batch_size // self.process_count
+        lo = self.process_index * local
         for i in range(0, stop, self.batch_size):
             idx = order[i : i + self.batch_size]
+            if self.process_count > 1:
+                idx = idx[lo : lo + local]
             yield self._prepare(self.data.images[idx]), self.data.labels[idx]
 
 
@@ -219,6 +234,8 @@ def build_cifar10_dataloaders(
         train = load_cifar10_arrays(config.data_dir, train=True, download=config.download)
         test = load_cifar10_arrays(config.data_dir, train=False, download=config.download)
 
+    import jax
+
     train_loader = ArrayLoader(
         train,
         config.batch_size,
@@ -227,6 +244,10 @@ def build_cifar10_dataloaders(
         normalize=False,
         image_size=config.image_size,
         seed=config.seed,
+        # multi-host: every process draws the same permutation (same seed)
+        # and yields its slice of each global batch
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
     )
     test_loader = ArrayLoader(
         test,

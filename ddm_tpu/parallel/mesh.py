@@ -76,7 +76,19 @@ def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch on the mesh, sharded over the data axis."""
+    """Place a host batch on the mesh, sharded over the data axis.
+
+    Single-process: ``batch`` is the global batch, placed with a
+    ``device_put``. Multi-process (pods): ``batch`` is this process's LOCAL
+    slice (see ``ArrayLoader``'s process sharding) and the global array is
+    assembled with ``jax.make_array_from_process_local_data``.
+    """
+    import numpy as np
+
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(
+            batch_sharding(mesh, np.ndim(batch)), np.asarray(batch)
+        )
     import jax.numpy as jnp
 
     arr = jnp.asarray(batch)

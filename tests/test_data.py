@@ -128,6 +128,35 @@ def test_loader_drop_last_false():
     assert sizes == [64, 36]
 
 
+def test_process_sharded_loader_partitions_global_batches():
+    """Multi-host contract: per-process slices of each global batch are
+    disjoint, cover the global batch, and align index-for-index across
+    processes (same seeded permutation)."""
+    cfg = CIFAR10DataConfig(synthetic=True, synthetic_size=256, batch_size=64)
+    train, _ = build_cifar10_dataloaders(cfg)
+    loaders = [
+        ArrayLoader(train.data, 64, shuffle=True, drop_last=True,
+                    normalize=False, seed=5, process_index=p, process_count=4)
+        for p in range(4)
+    ]
+    global_loader = ArrayLoader(train.data, 64, shuffle=True, drop_last=True,
+                                normalize=False, seed=5)
+    for parts, (gx, gy) in zip(zip(*loaders), global_loader):
+        xs = np.concatenate([x for x, _ in parts])
+        ys = np.concatenate([y for _, y in parts])
+        np.testing.assert_array_equal(xs, gx)
+        np.testing.assert_array_equal(ys, gy)
+        assert parts[0][0].shape[0] == 16
+
+
+def test_process_sharded_loader_rejects_uneven_split():
+    cfg = CIFAR10DataConfig(synthetic=True, synthetic_size=64, batch_size=30)
+    train, _ = build_cifar10_dataloaders(cfg)
+    with pytest.raises(ValueError, match="divide evenly"):
+        ArrayLoader(train.data, 30, shuffle=False, drop_last=True,
+                    normalize=False, process_index=0, process_count=4)
+
+
 def test_missing_dataset_raises_actionable_error(tmp_path):
     cfg = CIFAR10DataConfig(data_dir=str(tmp_path), download=False)
     with pytest.raises(FileNotFoundError, match="synthetic=True"):

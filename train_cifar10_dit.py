@@ -435,9 +435,14 @@ def main(argv: Optional[list] = None) -> None:
     parser.add_argument("--remat", action="store_true",
                         help="checkpoint each DiT block: trades ~30% extra "
                              "FLOPs for activation memory (DiT-B+ widths)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() for TPU pod "
+                             "slices (also implied by JAX_COORDINATOR_ADDRESS)")
     args = parser.parse_args(argv)
     apply_config(parser, args)
 
+    if args.multihost or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if args.m < 2:
