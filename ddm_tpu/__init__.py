@@ -23,8 +23,24 @@ import jax as _jax
 # Skipped on pure-CPU runs: XLA:CPU AOT cache entries embed host machine
 # features and can SIGILL when loaded on a different host (observed warning),
 # and CPU compiles are cheap anyway.
+def _platform_is_cpu() -> bool:
+    """True when the session is pinned to CPU by either knob.
+
+    Checks BOTH the env var and jax.config's ``jax_platforms`` value:
+    ``dryrun_multichip`` pins CPU via ``jax.config.update`` without setting
+    the env var, and the AOT-cache SIGILL risk (commit d18bf70) applies to
+    any XLA:CPU run regardless of how it was selected.
+    """
+    if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True
+    try:
+        return _jax.config.jax_platforms == "cpu"
+    except AttributeError:
+        return False
+
+
 try:  # pragma: no cover - environment-dependent
-    if _os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    if not _platform_is_cpu():
         _cache = _os.environ.get(
             "JAX_COMPILATION_CACHE_DIR",
             _os.path.expanduser("~/.cache/ddm_tpu/jax_cache"),
@@ -34,6 +50,24 @@ try:  # pragma: no cover - environment-dependent
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # noqa: BLE001 - cache is an optimisation, never fatal
     pass
+
+
+def disable_cache_if_cpu_backend() -> None:
+    """Turn the persistent compilation cache off when the resolved backend
+    is XLA:CPU.
+
+    Import-time gating can only see the two explicit CPU knobs; a CPU-only
+    host with neither set still resolves to the cpu backend at first compile.
+    Entry points call this right after argument parsing (when touching the
+    backend is safe) to close that hole: XLA:CPU AOT cache entries embed host
+    machine features and can SIGILL when loaded on a different host, and CPU
+    compiles are cheap anyway.
+    """
+    try:  # pragma: no cover - environment-dependent
+        if _jax.default_backend() == "cpu":
+            _jax.config.update("jax_compilation_cache_dir", None)
+    except Exception:  # noqa: BLE001
+        pass
 
 from .training import (
     TrainConfig,
@@ -62,6 +96,7 @@ from .models.dit import DDDMDiT
 __version__ = "0.1.0"
 
 __all__ = [
+    "disable_cache_if_cpu_backend",
     "TrainConfig",
     "TrainState",
     "train_dddm",

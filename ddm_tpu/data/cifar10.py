@@ -169,6 +169,14 @@ class ArrayLoader:
         global array via ``jax.make_array_from_process_local_data``)."""
         if batch_size % process_count != 0:
             raise ValueError("global batch must divide evenly across processes")
+        if process_count > 1 and not drop_last:
+            # A ragged final global batch would yield uneven (or empty)
+            # per-process slices, which make_array_from_process_local_data
+            # rejects; every multi-host batch must be full-sized.
+            raise ValueError(
+                "drop_last=False is unsupported with process_count > 1: the "
+                "final ragged batch cannot be assembled into a global array"
+            )
         self.data = data
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -178,13 +186,9 @@ class ArrayLoader:
         self.process_index = process_index
         self.process_count = process_count
         self._rng = np.random.default_rng(seed)
-        if image_size != 32:
-            # Nearest-neighbour host resize; the reference uses PIL bilinear
-            # Resize only when image_size != 32 (data.py:200-203) which no
-            # shipped config exercises.
-            self._resize = True
-        else:
-            self._resize = False
+        # The reference applies a PIL bilinear Resize when image_size != 32
+        # (data.py:200-213); PIL here gives bit-identical interpolation.
+        self._resize = image_size != 32
 
     def __len__(self) -> int:
         n = self.data.images.shape[0]
@@ -198,9 +202,17 @@ class ArrayLoader:
 
     def _prepare(self, images: np.ndarray) -> np.ndarray:
         if self._resize:
+            from PIL import Image
+
             s = self.image_size
-            idx = (np.arange(s) * images.shape[1] / s).astype(np.int64)
-            images = images[:, idx][:, :, idx]
+            out = np.empty(
+                (images.shape[0], s, s, images.shape[3]), dtype=np.uint8
+            )
+            for i, im in enumerate(images):
+                out[i] = np.asarray(
+                    Image.fromarray(im).resize((s, s), Image.BILINEAR)
+                )
+            images = out
         if self.normalize:
             images = images.astype(np.float32) / 127.5 - 1.0
         return images

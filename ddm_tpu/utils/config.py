@@ -23,7 +23,8 @@ def load_yaml_config(path: str) -> Dict[str, Any]:
         import yaml
     except ImportError as exc:  # pragma: no cover - defensive import guard
         raise RuntimeError(
-            "PyYAML is required to load configuration files but is not installed."
+            "Loading a --config YAML needs the pyyaml package; "
+            "install it or drop the flag."
         ) from exc
 
     with open(path, "r", encoding="utf-8") as f:
@@ -31,7 +32,9 @@ def load_yaml_config(path: str) -> Dict[str, Any]:
     if data is None:
         return {}
     if not isinstance(data, dict):
-        raise ValueError("Configuration file must define a mapping of parameters.")
+        raise ValueError(
+            f"Config {path} must be a YAML mapping of parameter names to values."
+        )
     return data
 
 

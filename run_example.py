@@ -28,13 +28,12 @@ from ddm_tpu.utils.config import apply_config
 
 
 def _serialize_history(history: dict) -> dict:
-    result: dict = {}
-    for key, values in history.items():
-        if key == "step":
-            result[key] = [int(v) for v in values]
-        else:
-            result[key] = [float(v) for v in values]
-    return result
+    """History lists hold numpy scalars; coerce to plain ints/floats for JSON."""
+    return {
+        key: [int(v) for v in values] if key == "step"
+        else [float(v) for v in values]
+        for key, values in history.items()
+    }
 
 
 def main() -> None:
@@ -67,6 +66,9 @@ def main() -> None:
     apply_config(p, args)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    import ddm_tpu
+
+    ddm_tpu.disable_cache_if_cpu_backend()
 
     cfg = TrainConfig(
         beta=args.beta,

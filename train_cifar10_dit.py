@@ -76,7 +76,9 @@ def _serialize_history(history: Dict[str, list]) -> dict:
 
 
 def maybe_init_wandb(args: argparse.Namespace):
-    if not getattr(args, "wandb", False):
+    # Only process 0 owns the W&B run: per-host duplicates would log the
+    # same (replicated) metrics N times and collide on the run name.
+    if not getattr(args, "wandb", False) or jax.process_index() != 0:
         return None, None
     try:
         import wandb  # pragma: no cover - optional dependency
@@ -116,7 +118,15 @@ def build_model(args: argparse.Namespace) -> DDDMDiT:
 
 
 def train(args: argparse.Namespace) -> None:
-    os.makedirs(args.out, exist_ok=True)
+    # All host-side artifacts (checkpoints, JSON/PNG, W&B) are written by
+    # process 0 only: on a pod with a shared output directory, concurrent
+    # writers would race on the same .tmp files and duplicate W&B runs.
+    # Compute (training, sampling, eval) still runs on every process —
+    # multi-process JAX requires all processes to execute the same program
+    # on globally-sharded arrays.
+    is_main = jax.process_index() == 0
+    if is_main:
+        os.makedirs(args.out, exist_ok=True)
     root_key = jax.random.PRNGKey(args.seed)
 
     data_config = CIFAR10DataConfig(
@@ -189,7 +199,45 @@ def train(args: argparse.Namespace) -> None:
     with trace(args.profile_dir):
         for epoch in range(start_epoch, args.epochs + 1):
             epoch_t0 = time.perf_counter()
-            pending = []  # on-device per-step metrics; flushed once per epoch
+            pending = []  # on-device per-step metrics for the current window
+            epoch_sums: Dict[str, float] = defaultdict(float)
+            num_batches = 0
+
+            def flush_pending(progress=None):
+                # One bounded device sync per log window: history and W&B
+                # stay live at --log-every cadence (the reference logs
+                # train/* every step; per-step float() pulls would sync the
+                # accelerator every step — SURVEY flags this).
+                nonlocal pending, num_batches
+                if not pending:
+                    return
+                flushed = jax.device_get(pending)
+                base = global_step - len(flushed)
+                for i, mstep in enumerate(flushed):
+                    train_history["step"].append(base + i + 1)
+                    for k, v in mstep.items():
+                        train_history.setdefault(k, []).append(float(v))
+                        epoch_sums[k] += float(v)
+                    if wandb_run is not None:
+                        wandb_run.log(
+                            {"train/epoch": epoch, "train/lr": args.lr,
+                             **{f"train/{k}": float(v) for k, v in mstep.items()}},
+                            step=base + i + 1,
+                        )
+                num_batches += len(flushed)
+                pending = []
+                if progress is not None:
+                    last = flushed[-1]
+                    progress.set_postfix(
+                        {
+                            "loss": f"{float(last['loss']):.4f}",
+                            "conf": f"{float(last['confidence']):.4f}",
+                            "inter": f"{float(last['interaction']):.4f}",
+                            "w~": f"{float(last['weight']):.3f}",
+                        },
+                        refresh=False,
+                    )
+
             progress = tqdm(
                 train_loader,
                 desc=f"Epoch {epoch}/{args.epochs}",
@@ -203,43 +251,20 @@ def train(args: argparse.Namespace) -> None:
                 global_step += 1
                 pending.append(metrics)
                 if (batch_idx + 1) % max(args.log_every, 1) == 0:
-                    # one bounded sync per log window, reference-parity postfix
-                    vals = jax.device_get(metrics)
-                    progress.set_postfix(
-                        {
-                            "loss": f"{float(vals['loss']):.4f}",
-                            "conf": f"{float(vals['confidence']):.4f}",
-                            "inter": f"{float(vals['interaction']):.4f}",
-                            "w~": f"{float(vals['weight']):.3f}",
-                        },
-                        refresh=False,
-                    )
+                    flush_pending(progress)
+            flush_pending()
 
-            # single host sync per epoch
-            flushed = jax.device_get(pending)
-            epoch_sums: Dict[str, float] = defaultdict(float)
-            for i, mstep in enumerate(flushed):
-                train_history["step"].append(global_step - len(flushed) + i + 1)
-                for k, v in mstep.items():
-                    train_history.setdefault(k, []).append(float(v))
-                    epoch_sums[k] += float(v)
-                if wandb_run is not None:
-                    wandb_run.log(
-                        {"train/epoch": epoch, "train/lr": args.lr,
-                         **{f"train/{k}": float(v) for k, v in mstep.items()}},
-                        step=global_step - len(flushed) + i + 1,
-                    )
-
-            num_batches = max(len(flushed), 1)
+            num_batches = max(num_batches, 1)
             epoch_avg = {k: epoch_sums[k] / num_batches for k in epoch_sums}
             img_per_sec = num_batches * args.batch / (time.perf_counter() - epoch_t0)
             n_chips = max(jax.local_device_count(), 1)
-            summary = " ".join(f"{k}={epoch_avg[k]:.4f}" for k in sorted(epoch_avg))
-            print(
-                f"[epoch {epoch:03d}] {summary} "
-                f"({img_per_sec:.0f} img/s, {img_per_sec / n_chips:.0f} img/s/chip)",
-                flush=True,
-            )
+            if is_main:
+                summary = " ".join(f"{k}={epoch_avg[k]:.4f}" for k in sorted(epoch_avg))
+                print(
+                    f"[epoch {epoch:03d}] {summary} "
+                    f"({img_per_sec:.0f} img/s, {img_per_sec / n_chips:.0f} img/s/chip)",
+                    flush=True,
+                )
 
             epoch_history["epoch"].append(epoch)
             for key, value in epoch_avg.items():
@@ -253,7 +278,7 @@ def train(args: argparse.Namespace) -> None:
                     step=epoch,
                 )
 
-            if epoch % args.ckpt_every == 0 or epoch == args.epochs:
+            if is_main and (epoch % args.ckpt_every == 0 or epoch == args.epochs):
                 ckpt_lib.save_train_state(
                     os.path.join(args.out, f"model_epoch{epoch:03d}.ckpt"),
                     state, config=vars(args) | {"epoch": epoch},
@@ -273,12 +298,15 @@ def train(args: argparse.Namespace) -> None:
                         eval_loader, fid_embedder, max_items=args.fid_samples,
                         batch_size=args.eval_batch,
                     )
+                # split first so the eval sampler's internal key chain can
+                # never collide with subsequent training-step keys
+                root_key, eval_key = jax.random.split(root_key)
                 metrics = evaluate(model, state, args, eval_loader,
-                                   fid_embedder, fid_stats, root_key)
-                root_key, _ = jax.random.split(root_key)
-                fid_str = (f"FID={metrics['fid']:.3f} " if "fid" in metrics else "")
-                print(f"[epoch {epoch:03d}] {fid_str}MMD={metrics['mmd']:.6f}",
-                      flush=True)
+                                   fid_embedder, fid_stats, eval_key)
+                if is_main:
+                    fid_str = (f"FID={metrics['fid']:.3f} " if "fid" in metrics else "")
+                    print(f"[epoch {epoch:03d}] {fid_str}MMD={metrics['mmd']:.6f}",
+                          flush=True)
                 eval_history["epoch"].append(epoch)
                 for key, value in metrics.items():
                     eval_history.setdefault(key, []).append(float(value))
@@ -286,13 +314,13 @@ def train(args: argparse.Namespace) -> None:
                     wandb_run.log({f"eval/{k}": v for k, v in metrics.items()},
                                   step=epoch)
 
-    ckpt_lib.save_train_state(
-        os.path.join(args.out, "model_final.ckpt"),
-        state, config=vars(args) | {"epoch": args.epochs},
-    )
-
-    with open(os.path.join(args.out, "config.json"), "w") as f:
-        json.dump(vars(args), f, indent=2)
+    if is_main:
+        ckpt_lib.save_train_state(
+            os.path.join(args.out, "model_final.ckpt"),
+            state, config=vars(args) | {"epoch": args.epochs},
+        )
+        with open(os.path.join(args.out, "config.json"), "w") as f:
+            json.dump(vars(args), f, indent=2)
 
     if args.sample_batch > 0:
         sample_key = jax.random.fold_in(root_key, 999)
@@ -302,19 +330,21 @@ def train(args: argparse.Namespace) -> None:
             data_shape=(image_size, image_size, channels),
         )
         samples = np.clip(np.asarray(samples), -1.0, 1.0)
-        grid_rows = int(args.sample_batch**0.5)
-        if grid_rows * grid_rows < args.sample_batch:
-            grid_rows += 1
-        save_image_grid((samples + 1.0) / 2.0,
-                        os.path.join(args.out, "samples.png"), nrow=grid_rows)
-        print(f"Saved samples and checkpoints to {args.out}", flush=True)
+        if is_main:
+            grid_rows = int(args.sample_batch**0.5)
+            if grid_rows * grid_rows < args.sample_batch:
+                grid_rows += 1
+            save_image_grid((samples + 1.0) / 2.0,
+                            os.path.join(args.out, "samples.png"), nrow=grid_rows)
+            print(f"Saved samples and checkpoints to {args.out}", flush=True)
 
     # Persist and plot training dynamics (three JSON+PNG pairs, as reference).
-    for name, hist, xkey, title, xlabel in (
+    artifact_specs = (
         ("train", train_history, "step", "CIFAR-10 training dynamics", "Step"),
         ("epoch", epoch_history, "epoch", "CIFAR-10 epoch averages", "Epoch"),
         ("eval", eval_history, "epoch", "CIFAR-10 evaluation metrics", "Epoch"),
-    ):
+    ) if is_main else ()
+    for name, hist, xkey, title, xlabel in artifact_specs:
         if name == "eval" and len(eval_history["epoch"]) == 0:
             continue
         with open(os.path.join(args.out, f"{name}_metrics.json"), "w",
@@ -443,6 +473,9 @@ def main(argv: Optional[list] = None) -> None:
 
     if args.multihost or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
+    import ddm_tpu
+
+    ddm_tpu.disable_cache_if_cpu_backend()
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if args.m < 2:
