@@ -145,6 +145,63 @@ class _AttnParams(nn.Module):
         return wqkv, bqkv, wproj, bproj
 
 
+class _TPAttention(nn.Module):
+    """Tensor-parallel attention: column-parallel q/k/v, row-parallel proj.
+
+    Megatron layout over the ``model`` mesh axis (VERDICT r1 item 3): the
+    fused ``[q|k|v]`` projection is split into THREE column-parallel
+    projections so a model-axis shard owns whole heads contiguously — no
+    mid-block all-gather — and the Pallas ``fused_attention`` kernel runs
+    per shard on its local heads inside ``shard_map``. The proj matmul is
+    row-parallel; its partial products are psum'd once per block via the
+    ``g`` operator and the bias + residual are added exactly once after.
+
+    Two instantiations share one param TREE (names/values), differing only
+    in declared shapes:
+      * ``tp_axis=None`` — full weights (init, sampling, jit-SPMD, oracle);
+      * ``tp_axis='model'`` — local shard shapes, used inside ``shard_map``
+        where flax sees each shard's slice.
+    """
+
+    dim: int
+    num_heads: int
+    tp: int = 1
+    tp_axis: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+    attention_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, x_res: jnp.ndarray) -> jnp.ndarray:
+        from ddm_tpu.ops.attention import attention_reference, fused_attention
+
+        shard = self.tp_axis is not None
+        local_dim = self.dim // self.tp if shard else self.dim
+        local_heads = self.num_heads // self.tp if shard else self.num_heads
+
+        if shard:
+            from ddm_tpu.parallel.tp import tp_region_enter
+
+            h = tp_region_enter(h, self.tp_axis)
+        q = nn.Dense(local_dim, dtype=self.dtype, name="q")(h)
+        k = nn.Dense(local_dim, dtype=self.dtype, name="k")(h)
+        v = nn.Dense(local_dim, dtype=self.dtype, name="v")(h)
+
+        if self.attention_impl == "xla":
+            o = attention_reference(q, k, v, local_heads)
+        else:
+            o = fused_attention(q, k, v, local_heads)
+
+        wproj, bproj = _DenseParams(local_dim, self.dim, name="proj")()
+        out = jnp.dot(
+            o, wproj.astype(o.dtype), preferred_element_type=jnp.float32
+        )
+        if shard:
+            from ddm_tpu.parallel.tp import tp_region_exit
+
+            out = tp_region_exit(out, self.tp_axis)
+        return (x_res.astype(jnp.float32) + out + bproj).astype(self.dtype)
+
+
 class DiTBlock(nn.Module):
     """Pre-LN transformer block: ``x + attn(LN(x)); x + ff(LN(x))``.
 
@@ -167,9 +224,13 @@ class DiTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
     fused_mlp: bool = True
+    tp: int = 1
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.tp > 1:
+            return self._tp_call(x)
         fuse_attn = self.attention_impl != "xla" and self.fused_mlp
         B, N, D = x.shape
 
@@ -207,6 +268,51 @@ class DiTBlock(nn.Module):
         h = nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(h)
         return x + h
 
+    def _tp_call(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Tensor-parallel block body (``tp > 1``).
+
+        Attention: LN (XLA) -> :class:`_TPAttention` (Pallas attention core
+        on local heads, one psum). MLP: the fused Pallas *partial* half-
+        block per shard (``ddm_tpu.ops.mlp_block.fused_mlp_partial`` — LN +
+        ff_in + GELU + ff_out partial product, fp32), one psum, then bias +
+        residual added once. With ``tp_axis=None`` the same code runs with
+        full weights and no collectives (the replicated oracle).
+        """
+        from ddm_tpu.ops.mlp_block import fused_mlp_partial
+
+        shard = self.tp_axis is not None
+        B, N, D = x.shape
+
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        x = _TPAttention(
+            self.dim, self.num_heads, tp=self.tp, tp_axis=self.tp_axis,
+            dtype=self.dtype, attention_impl=self.attention_impl, name="attn",
+        )(h, x)
+
+        hidden = int(self.dim * self.mlp_ratio)
+        hidden_local = hidden // self.tp if shard else hidden
+        s2, b2 = _LNParams(self.dim, name="norm2")()
+        w1, bb1 = _DenseParams(self.dim, hidden_local, name="ff_in")()
+        w2, bb2 = _DenseParams(hidden_local, self.dim, name="ff_out")()
+
+        rows = x.astype(self.dtype).reshape(B * N, D)
+        if shard:
+            from ddm_tpu.parallel.tp import tp_region_enter, tp_region_exit
+
+            # the LayerNorm runs INSIDE the kernel on every shard, so its
+            # input and params all get partial cotangents that the f
+            # operator must reassemble (the residual path stays outside)
+            rows_in = tp_region_enter(rows, self.tp_axis)
+            s2 = tp_region_enter(s2, self.tp_axis)
+            b2 = tp_region_enter(b2, self.tp_axis)
+        else:
+            rows_in = rows
+        part = fused_mlp_partial(rows_in, s2, b2, w1, bb1, w2)
+        if shard:
+            part = tp_region_exit(part, self.tp_axis)
+        out = (rows.astype(jnp.float32) + part + bb2).astype(self.dtype)
+        return out.reshape(B, N, D)
+
 
 class DDDMDiT(nn.Module):
     """Distributional diffusion denoiser with a DiT backbone for images.
@@ -236,10 +342,25 @@ class DDDMDiT(nn.Module):
     fused_mlp: bool = True
     remat: bool = False  # checkpoint each block: trade FLOPs for HBM
                          # (needed for DiT-B+ widths at the paper's B*m=2048)
+    # Tensor parallelism (Megatron layout; see _TPAttention). tp > 1 selects
+    # separate column-parallel q/k/v projections; tp_axis names the mesh
+    # axis when running inside shard_map on local weight shards, None keeps
+    # full weights (init / sampling / replicated oracle).
+    tp: int = 1
+    tp_axis: Optional[str] = None
 
     def setup(self):
         if self.img_size % self.patch_size != 0:
             raise ValueError("Image size must be divisible by patch size")
+        if self.tp > 1:
+            hidden = int(self.embed_dim * self.mlp_ratio)
+            if (self.embed_dim % self.tp or self.num_heads % self.tp
+                    or hidden % self.tp):
+                raise ValueError(
+                    "tp must divide embed_dim, num_heads, and the MLP hidden "
+                    f"size (got tp={self.tp}, dim={self.embed_dim}, "
+                    f"heads={self.num_heads}, hidden={hidden})"
+                )
         grid = self.img_size // self.patch_size
         self.num_patches = grid * grid
         self.patch_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="patch_proj")
@@ -262,6 +383,8 @@ class DDDMDiT(nn.Module):
                 dtype=self.dtype,
                 attention_impl=self.attention_impl,
                 fused_mlp=self.fused_mlp,
+                tp=self.tp,
+                tp_axis=self.tp_axis,
                 name=f"block_{i}",
             )
             for i in range(self.depth)

@@ -14,6 +14,13 @@ module names (``Conv2d_1a_3x3`` ... ``Mixed_7c``), so converting a torch
 :func:`convert_torch_inception_state_dict`. BatchNorm runs in inference
 mode from stored running statistics (eps = 0.001, matching torchvision).
 
+Fidelity anchors (``tests/test_inception_fidelity.py``): the tower, the
+converter, and the full input protocol are pinned against a torch oracle
+with torchvision-identical state_dict keys — committed golden pool3
+vectors + intermediate taps (max |err| < 2e-3 fp32), live torch
+cross-checks, and bilinear-resize parity with
+``F.interpolate(align_corners=False)`` (hence ``antialias=False`` below).
+
 Weights: this environment is air-gapped, so IMAGENET1K_V1 weights cannot be
 downloaded here. :class:`InceptionEmbedding` looks for a torch checkpoint at
 ``$DDM_TPU_INCEPTION_WEIGHTS`` or ``~/.cache/ddm_tpu/inception_v3.pth``
@@ -71,6 +78,15 @@ class BasicConv2d(nn.Module):
             ),
             use_bias=False,
             dtype=self.dtype,
+            # fp32 mode must mean fp32 numerics on TPU too: the MXU's
+            # default precision lowers fp32 convs to bf16 passes (measured
+            # 0.038 max pool3 error vs the torch goldens); HIGHEST restores
+            # <2e-3. Irrelevant under explicit bfloat16 compute.
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if self.dtype == jnp.float32
+                else None
+            ),
             name="conv",
         )(x)
         c = self.out_channels
@@ -231,7 +247,11 @@ def preprocess_for_inception(images: jnp.ndarray, resize: bool = True) -> jnp.nd
     x = (x + 1.0) / 2.0
     if resize:
         B = x.shape[0]
-        x = jax.image.resize(x, (B, 299, 299, 3), method="bilinear")
+        # antialias=False matches torch F.interpolate exactly in BOTH
+        # directions (torch never antialiases here); with the default
+        # antialias=True, jax would low-pass when downscaling >299 inputs.
+        x = jax.image.resize(x, (B, 299, 299, 3), method="bilinear",
+                             antialias=False)
     mean = jnp.asarray(_IMAGENET_MEAN)
     std = jnp.asarray(_IMAGENET_STD)
     return (x - mean) / std
@@ -298,8 +318,11 @@ class InceptionEmbedding:
         self,
         weights_path: Optional[str] = None,
         resize_input: bool = True,
-        dtype: jnp.dtype = jnp.bfloat16,
+        dtype: jnp.dtype = jnp.float32,
     ) -> None:
+        # float32 default: the reference computes FID features in fp32 and
+        # the golden-vector tests pin the tower at fp32 accuracy; pass
+        # bfloat16 explicitly to trade ~1e-2 feature error for speed.
         self.model = InceptionV3(dtype=dtype)
         self.resize_input = resize_input
         self.params = None

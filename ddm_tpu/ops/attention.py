@@ -45,6 +45,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_config import interpret_mode, kernels_enabled
+
+
+def _pallas_call(*args, **kwargs):
+    """pallas_call honouring the DDM_TPU_PALLAS_INTERPRET test knob."""
+    return pl.pallas_call(*args, interpret=interpret_mode(), **kwargs)
+
 __all__ = [
     "fused_attention",
     "flash_attention",
@@ -164,7 +171,7 @@ def _fused_fwd_call(q, k, v, H: int, scale: float):
     spec = pl.BlockSpec((bi, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((g * N, g * N), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_fwd_kernel, H=H, g=g, scale=scale),
         out_shape=jax.ShapeDtypeStruct((B, N, D), q.dtype),
         grid=(B // bi,),
@@ -186,7 +193,7 @@ def _fused_bwd(H: int, scale: float, res, do):
     mspec = pl.BlockSpec((g * N, g * N), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     shp = jax.ShapeDtypeStruct((B, N, D), q.dtype)
-    dq, dk, dv = pl.pallas_call(
+    dq, dk, dv = _pallas_call(
         functools.partial(_bwd_kernel, H=H, g=g, scale=scale),
         out_shape=(shp, shp, shp),
         grid=(B // bi,),
@@ -227,7 +234,7 @@ def fused_attention(q, k, v, H: int, scale: Optional[float] = None):
     if scale is None:
         scale = Dh**-0.5
     supported = (
-        jax.default_backend() == "tpu"
+        kernels_enabled()
         and N % 8 == 0
         and N <= 512
         and Dh % 8 == 0
@@ -469,7 +476,7 @@ def _fused_block_fwd_call(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H):
     mask = _block_mask(g, N)
     row3, const = _blk_specs(B, N, D, bi, g)
     Dh = D // H
-    return pl.pallas_call(
+    return _pallas_call(
         functools.partial(_blk_fwd_kernel, H=H, g=g, scale=Dh**-0.5),
         out_shape=jax.ShapeDtypeStruct((B, N, D), x.dtype),
         grid=(B // bi,),
@@ -498,7 +505,7 @@ def _fused_block_bwd(H, res, do):
     mask = _block_mask(g, N)
     row3, const = _blk_specs(B, N, D, bi, g)
     Dh = D // H
-    outs = pl.pallas_call(
+    outs = _pallas_call(
         functools.partial(_blk_bwd_kernel, H=H, g=g, scale=Dh**-0.5),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, D), x.dtype),       # dx
@@ -565,7 +572,7 @@ def fused_attention_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj,
     """
     B, N, D = x.shape
     Dh = D // H
-    if jax.default_backend() != "tpu":
+    if not kernels_enabled():
         return attention_block_reference(x, scale_p, bias_p, wqkv, bqkv,
                                          wproj, bproj, H)
     bi, g = _choose_blocks(B, N, D)

@@ -34,6 +34,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_config import interpret_mode, kernels_enabled
+
+
+def _pallas_call(*args, **kwargs):
+    """pallas_call honouring the DDM_TPU_PALLAS_INTERPRET test knob."""
+    return pl.pallas_call(*args, interpret=interpret_mode(), **kwargs)
+
 from .losses import generalized_energy_terms as _jnp_energy_terms
 
 __all__ = ["fused_energy_terms"]
@@ -130,7 +137,7 @@ def _fused(x0hats, x0, beta: float):
 def _fused_fwd_call(x0hats, x0, beta: float):
     B, m, D = x0hats.shape
     bb = _choose_bb(B, m, D)
-    conf_sum, inter_sum = pl.pallas_call(
+    conf_sum, inter_sum = _pallas_call(
         functools.partial(_fwd_kernel, m=m, beta=beta),
         out_shape=(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -162,7 +169,7 @@ def _fused_bwd(beta: float, res, grads):
     bb = _choose_bb(B, m, D)
     gc = jnp.reshape(gconf / (B * m), (1, 1)).astype(jnp.float32)
     gi = jnp.reshape(ginter / (B * m * (m - 1)), (1, 1)).astype(jnp.float32)
-    dxh, dx0 = pl.pallas_call(
+    dxh, dx0 = _pallas_call(
         functools.partial(_bwd_kernel, m=m, beta=beta),
         out_shape=(
             jax.ShapeDtypeStruct((B, m, D), x0hats.dtype),
@@ -197,6 +204,6 @@ def fused_energy_terms(
     toy sizes).
     """
     B, m, D = x0hats.shape
-    if jax.default_backend() != "tpu" or not _kernel_supported(B, m, D):
+    if not kernels_enabled() or not _kernel_supported(B, m, D):
         return _jnp_energy_terms(x0hats, x0, beta)
     return _fused(x0hats.astype(jnp.float32), x0.astype(jnp.float32), beta)

@@ -32,7 +32,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_mlp_block", "mlp_block_reference"]
+from .pallas_config import interpret_mode, kernels_enabled
+
+
+def _pallas_call(*args, **kwargs):
+    """pallas_call honouring the DDM_TPU_PALLAS_INTERPRET test knob."""
+    return pl.pallas_call(*args, interpret=interpret_mode(), **kwargs)
+
+__all__ = [
+    "fused_mlp_block",
+    "fused_mlp_partial",
+    "mlp_block_reference",
+    "mlp_partial_reference",
+]
 
 _LN_EPS = 1e-6
 _INV_SQRT2 = 1.0 / math.sqrt(2.0)
@@ -102,16 +114,18 @@ def _fwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     o_ref[:] = (xf + out).astype(o_ref.dtype)
 
 
-def _bwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, b2_ref, do_ref,
-                dx_ref, ds_ref, db_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+def _bwd_body(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, do_ref,
+              dx_ref, ds_ref, db_ref, dw1_ref, db1_ref, dw2_ref,
+              db2_ref, residual: bool):
+    """Shared backward body; ``db2_ref=None``/``residual=False`` selects the
+    tensor-parallel partial variant (no output bias, no residual)."""
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        ds_ref[:] = jnp.zeros_like(ds_ref)
-        db_ref[:] = jnp.zeros_like(db_ref)
-        dw1_ref[:] = jnp.zeros_like(dw1_ref)
-        db1_ref[:] = jnp.zeros_like(db1_ref)
-        dw2_ref[:] = jnp.zeros_like(dw2_ref)
-        db2_ref[:] = jnp.zeros_like(db2_ref)
+        accs = [ds_ref, db_ref, dw1_ref, db1_ref, dw2_ref]
+        if db2_ref is not None:
+            accs.append(db2_ref)
+        for r in accs:
+            r[:] = jnp.zeros_like(r)
 
     xf = x_ref[:].astype(jnp.float32)
     yf, xhat, inv = _ln(xf, s_ref[:], bb_ref[:])
@@ -126,7 +140,8 @@ def _bwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, b2_ref, do_ref,
     dw2_ref[:] += jax.lax.dot_general(
         g, dob, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    db2_ref[:] += jnp.sum(do, axis=0, keepdims=True)
+    if db2_ref is not None:
+        db2_ref[:] += jnp.sum(do, axis=0, keepdims=True)
     dg = jax.lax.dot_general(  # dO @ W2^T without materialising the transpose
         dob, w2_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -152,7 +167,21 @@ def _bwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, b2_ref, do_ref,
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = inv * (dxhat - m1 - xhat * m2)
 
-    dx_ref[:] = (do + dx_ln).astype(dx_ref.dtype)
+    dx_ref[:] = ((do + dx_ln) if residual else dx_ln).astype(dx_ref.dtype)
+
+
+def _bwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, b2_ref, do_ref,
+                dx_ref, ds_ref, db_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+    _bwd_body(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, do_ref,
+              dx_ref, ds_ref, db_ref, dw1_ref, db1_ref, dw2_ref,
+              db2_ref, residual=True)
+
+
+def _partial_bwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, do_ref,
+                        dx_ref, ds_ref, db_ref, dw1_ref, db1_ref, dw2_ref):
+    _bwd_body(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, do_ref,
+              dx_ref, ds_ref, db_ref, dw1_ref, db1_ref, dw2_ref,
+              None, residual=False)
 
 
 def _row_block(T: int, D: int, F: int) -> int:
@@ -191,7 +220,7 @@ def _fused_fwd_call(x, scale, bias, w1, b1, w2, b2):
     F = w1.shape[1]
     rb = _row_block(T, D, F)
     sp = _specs(T, D, F, rb, x.dtype)
-    return pl.pallas_call(
+    return _pallas_call(
         _fwd_kernel,
         out_shape=jax.ShapeDtypeStruct((T, D), x.dtype),
         grid=(T // rb,),
@@ -213,7 +242,7 @@ def _fused_bwd(res, do):
     F = w1.shape[1]
     rb = _row_block(T, D, F)
     sp = _specs(T, D, F, rb, x.dtype)
-    outs = pl.pallas_call(
+    outs = _pallas_call(
         _bwd_kernel,
         out_shape=(
             jax.ShapeDtypeStruct((T, D), x.dtype),        # dx
@@ -246,6 +275,17 @@ def _fused_bwd(res, do):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _mlp_kernel_ok(T: int, D: int, F: int) -> bool:
+    rb = _row_block(T, D, F)
+    return (
+        kernels_enabled()
+        and D % 128 == 0
+        and F % 128 == 0
+        and T % rb == 0
+        and 12 * D * F + rb * (D * 8 + F * 8) < 15 * 1024 * 1024
+    )
+
+
 def fused_mlp_block(x, scale, bias, w1, b1, w2, b2):
     """``x + gelu(LN(x) @ w1 + b1) @ w2 + b2`` over (T, D) token rows.
 
@@ -254,15 +294,111 @@ def fused_mlp_block(x, scale, bias, w1, b1, w2, b2):
     """
     T, D = x.shape
     F = w1.shape[1]
-    rb = _row_block(T, D, F)
-    supported = (
-        jax.default_backend() == "tpu"
-        and D % 128 == 0
-        and F % 128 == 0
-        and T % rb == 0
-        and 12 * D * F + rb * (D * 8 + F * 8) < 15 * 1024 * 1024
-    )
-    if not supported:
+    if not _mlp_kernel_ok(T, D, F):
         return mlp_block_reference(x, scale, bias, w1, b1, w2, b2,
                                    dtype=x.dtype)
     return _fused(x, scale, bias, w1, b1, w2, b2)
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel PARTIAL variant: gelu(LN(x) @ w1 + b1) @ w2, returned in
+# fp32 WITHOUT the output bias or the residual. Under Megatron-style TP the
+# hidden axis is column-sharded (w1 local (D, F/tp), w2 local (F/tp, D)),
+# each shard computes this partial product, and the caller psums over the
+# model axis before adding b2 + the residual exactly once.
+# ---------------------------------------------------------------------------
+
+
+def mlp_partial_reference(x, scale, bias, w1, b1, w2, dtype=jnp.bfloat16):
+    """jnp oracle/fallback for the partial half-block (fp32 output)."""
+    xf = x.astype(jnp.float32)
+    y, _, _ = _ln(xf, scale, bias)
+    y = y.astype(dtype)
+    h = (
+        jnp.dot(y, w1.astype(dtype), preferred_element_type=jnp.float32)
+        + b1
+    )
+    g = _gelu(h).astype(dtype)
+    return jnp.dot(g, w2.astype(dtype), preferred_element_type=jnp.float32)
+
+
+def _partial_fwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, o_ref):
+    xf = x_ref[:].astype(jnp.float32)
+    y, _, _ = _ln(xf, s_ref[:], bb_ref[:])
+    y = y.astype(x_ref.dtype)
+    h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    g = _gelu(h, erf=_erf_poly).astype(x_ref.dtype)
+    o_ref[:] = jnp.dot(g, w2_ref[:], preferred_element_type=jnp.float32)
+
+
+@jax.custom_vjp
+def _fused_partial(x, scale, bias, w1, b1, w2):
+    return _fused_partial_fwd_call(x, scale, bias, w1, b1, w2)
+
+
+def _fused_partial_fwd_call(x, scale, bias, w1, b1, w2):
+    T, D = x.shape
+    F = w1.shape[1]
+    rb = _row_block(T, D, F)
+    sp = _specs(T, D, F, rb, x.dtype)
+    out32 = pl.BlockSpec((rb, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return _pallas_call(
+        _partial_fwd_kernel,
+        out_shape=jax.ShapeDtypeStruct((T, D), jnp.float32),
+        grid=(T // rb,),
+        in_specs=[sp["x"], sp["vecD"], sp["vecD"], sp["w1"], sp["vecF"],
+                  sp["w2"]],
+        out_specs=out32,
+    )(x, scale.reshape(1, D), bias.reshape(1, D), w1.astype(x.dtype),
+      b1.reshape(1, F), w2.astype(x.dtype))
+
+
+def _fused_partial_fwd(x, scale, bias, w1, b1, w2):
+    out = _fused_partial_fwd_call(x, scale, bias, w1, b1, w2)
+    return out, (x, scale, bias, w1, b1, w2)
+
+
+def _fused_partial_bwd(res, do):
+    x, scale, bias, w1, b1, w2 = res
+    T, D = x.shape
+    F = w1.shape[1]
+    rb = _row_block(T, D, F)
+    sp = _specs(T, D, F, rb, x.dtype)
+    do32 = pl.BlockSpec((rb, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    outs = _pallas_call(
+        _partial_bwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, D), x.dtype),        # dx
+            jax.ShapeDtypeStruct((1, D), jnp.float32),    # dscale
+            jax.ShapeDtypeStruct((1, D), jnp.float32),    # dbias
+            jax.ShapeDtypeStruct((D, F), jnp.float32),    # dw1
+            jax.ShapeDtypeStruct((1, F), jnp.float32),    # db1
+            jax.ShapeDtypeStruct((F, D), jnp.float32),    # dw2
+        ),
+        grid=(T // rb,),
+        in_specs=[sp["x"], sp["vecD"], sp["vecD"], sp["w1"], sp["vecF"],
+                  sp["w2"], do32],
+        out_specs=(sp["x"], const((1, D)), const((1, D)), const((D, F)),
+                   const((1, F)), const((F, D))),
+    )(x, scale.reshape(1, D), bias.reshape(1, D), w1.astype(x.dtype),
+      b1.reshape(1, F), w2.astype(x.dtype), do.astype(jnp.float32))
+    dx, ds, db, dw1, db1, dw2 = outs
+    return dx, ds.reshape(D), db.reshape(D), dw1, db1.reshape(F), dw2
+
+
+_fused_partial.defvjp(_fused_partial_fwd, _fused_partial_bwd)
+
+
+def fused_mlp_partial(x, scale, bias, w1, b1, w2):
+    """Partial TP half-block over (T, D) rows: fp32 pre-psum product.
+
+    Same dispatch policy as :func:`fused_mlp_block`; differentiable on both
+    paths. The caller owns ``psum`` + output bias + residual.
+    """
+    T, D = x.shape
+    F = w1.shape[1]
+    if not _mlp_kernel_ok(T, D, F):
+        return mlp_partial_reference(x, scale, bias, w1, b1, w2, dtype=x.dtype)
+    return _fused_partial(x, scale, bias, w1, b1, w2)

@@ -68,7 +68,7 @@ def make_sharded_train_step(
         preprocess: optional on-device ``(key, raw_batch) -> x0`` hook (e.g.
             uint8 -> augment -> normalize); runs inside the compiled step so
             augmentation fuses with the forward pass.
-        dp_shard_map: express data parallelism via ``shard_map`` (per-shard
+        dp_shard_map: express the parallelism via ``shard_map`` (per-shard
             SPMD bodies with an explicit gradient ``pmean``) instead of
             jit-level shardings. REQUIRED for the Pallas-fused model on
             multi-chip meshes: XLA's SPMD partitioner cannot split a
@@ -76,6 +76,15 @@ def make_sharded_train_step(
             global batch onto every chip; under ``shard_map`` each kernel
             sees only its local shard. Defaults to True exactly when the
             mesh is pure data parallelism (no ``model`` axis extent).
+
+            With a ``model`` axis present, pass ``dp_shard_map=True`` AND an
+            ``apply_fn`` built for LOCAL weight shards (a DDDMDiT with
+            ``tp=N, tp_axis='model'``): the model's Megatron f/g operators
+            (``ddm_tpu.parallel.tp``) own every model-axis collective and
+            keep gradients of replicated params correct per shard, so this
+            step only ``pmean``s gradients over the data axis. This is the
+            path that keeps the Pallas kernels active under tensor
+            parallelism (head-sharded attention, partial fused MLP).
         steps_per_scan: fuse K optimizer steps into one compiled program via
             ``lax.scan``; the returned callable then takes a stacked batch
             ``(K, B, ...)`` (batch axis sharded over ``data``) and returns

@@ -43,9 +43,15 @@ __all__ = [
 ]
 
 # (path regex, PartitionSpec) — first match wins; no match -> replicated.
+# Two attention layouts coexist: the fused [q|k|v] projection (tp=1 model
+# tree, used by the jit-SPMD path) and the separate column-parallel q/k/v
+# projections the tp>1 model tree uses (shard_map path — whole heads per
+# shard, no mid-block all-gather; see models/dit._TPAttention).
 DIT_TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r"attn/qkv/kernel", P(None, MODEL_AXIS)),
     (r"attn/qkv/bias", P(MODEL_AXIS)),
+    (r"attn/(q|k|v)/kernel", P(None, MODEL_AXIS)),
+    (r"attn/(q|k|v)/bias", P(MODEL_AXIS)),
     (r"attn/proj/kernel", P(MODEL_AXIS, None)),
     (r"attn/proj/bias", P()),
     (r"ff_in/kernel", P(None, MODEL_AXIS)),

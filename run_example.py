@@ -36,7 +36,7 @@ def _serialize_history(history: dict) -> dict:
     }
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--config", type=str, default=None, help="Optional YAML config")
     p.add_argument("--epochs", type=int, default=10000)
@@ -62,7 +62,7 @@ def main() -> None:
                         "markedly better toy MMD)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (numerics debugging; slow)")
-    args = p.parse_args()
+    args = p.parse_args(argv)
     apply_config(p, args)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)

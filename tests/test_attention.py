@@ -17,9 +17,7 @@ import ddm_tpu.ops.attention as A
 
 @pytest.fixture()
 def interpret_kernels(monkeypatch):
-    monkeypatch.setattr(
-        A.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
-    )
+    monkeypatch.setenv("DDM_TPU_PALLAS_INTERPRET", "1")
 
 
 def _qkv(B=16, N=64, H=6, Dh=64, dtype=jnp.float32, seed=0):

@@ -14,9 +14,7 @@ from ddm_tpu.ops.losses import generalized_energy_terms
 
 @pytest.fixture()
 def interpret_kernels(monkeypatch):
-    monkeypatch.setattr(
-        E.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
-    )
+    monkeypatch.setenv("DDM_TPU_PALLAS_INTERPRET", "1")
 
 
 def _data(B=16, m=4, D=256, seed=0):

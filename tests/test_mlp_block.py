@@ -13,9 +13,7 @@ import ddm_tpu.ops.mlp_block as M
 
 @pytest.fixture()
 def interpret_kernels(monkeypatch):
-    monkeypatch.setattr(
-        M.pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
-    )
+    monkeypatch.setenv("DDM_TPU_PALLAS_INTERPRET", "1")
 
 
 def _args(T=64, D=128, F=256, seed=0):
