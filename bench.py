@@ -38,6 +38,75 @@ import optax
 BASELINE_IMGS_PER_SEC_A100_EAGER = 1370.0
 
 
+def dit_train_flops_per_image(
+    *, img: int, patch: int, dim: int, depth: int, heads: int,
+    time_dim: int, mlp_ratio: float, m: int, channels: int = 3,
+    remat: bool = False,
+) -> float:
+    """Audited MODEL-FLOPs (matmul 2*M*N*K convention) per DATA image for
+    one training step: forward + backward (= 3x forward) for each of the m
+    denoiser queries, +1 forward when remat recomputes activations.
+
+    Counts the algorithmic DiT matmuls only (patch embed, qkv/proj,
+    softmax-attention contractions, 4x MLP, time MLP, unembed); elementwise
+    ops, the energy-score reduction, and the attention kernel's g-way
+    packing waste are excluded, so the MFU derived from this is the
+    standard *model* FLOPs utilisation, reproducible from this function.
+    """
+    n_tok = (img // patch) ** 2
+    d_head_total = dim  # H * Dh == dim
+    per_block = (
+        2 * n_tok * dim * 3 * dim          # qkv projection
+        + 4 * n_tok * n_tok * d_head_total  # q@k^T and p@v over all heads
+        + 2 * n_tok * dim * dim            # output projection
+        + 2 * 2 * n_tok * dim * int(dim * mlp_ratio)  # MLP in + out
+    )
+    embed = (
+        2 * n_tok * (2 * channels * patch * patch) * dim  # patch embed
+        + 2 * time_dim * dim + 2 * dim * dim              # time MLP
+        + 2 * n_tok * dim * (channels * patch * patch)    # unembed
+    )
+    fwd = embed + depth * per_block
+    # MFU convention: model FLOPs = fwd + bwd = 3x fwd, NOT counting the
+    # remat recompute; the JSON also reports HFU-style numbers (with the
+    # extra remat forward) so the recompute cost is visible.
+    mfu_flops = 3.0 * fwd * m
+    hw_flops = (3.0 + (1.0 if remat else 0.0)) * fwd * m
+    return mfu_flops, hw_flops
+
+
+def measure_matmul_peak_tflops(dtype, iters: int = 64) -> float:
+    """Measured MXU ceiling: ``iters`` chained 4096^3 matmuls in one
+    compiled program, dispatch/fetch overhead measured separately and
+    subtracted (through remote-TPU relays a single matmul is pure latency:
+    one 4096^3 dispatch measured ~3 TFLOP/s where the chained version
+    measures the real ceiling)."""
+    n = 4096
+    a = jnp.ones((n, n), dtype)
+    b = jnp.ones((n, n), dtype)
+
+    chain = jax.jit(
+        lambda a, b: jax.lax.fori_loop(0, iters, lambda i, x: x @ b, a)
+    )
+    tiny = jax.jit(lambda a: a[0, 0] * 1.0)
+    float(chain(a, b)[0, 0])  # compile + sync (value fetch beats
+    float(tiny(a))            # block_until_ready through relays)
+
+    overhead = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(tiny(a))
+        overhead = min(overhead, time.perf_counter() - t0)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(a, b)[0, 0])
+        best = min(best, time.perf_counter() - t0)
+    compute_s = max(best - overhead, 1e-9)
+    return 2 * n**3 * iters / compute_s / 1e12
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=256)
@@ -162,6 +231,24 @@ def main() -> None:
     total_steps = n_calls * K
     imgs_per_sec = total_steps * args.batch / dt
     per_chip = imgs_per_sec / n_chips
+
+    # auditable MFU: model FLOPs from the counter above; ceiling measured
+    # in-run on this chip (plus the v5e datasheet number for reference)
+    mfu_flops, hw_flops = dit_train_flops_per_image(
+        img=32, patch=args.patch_size, dim=args.embed_dim, depth=args.depth,
+        heads=args.heads, time_dim=256, mlp_ratio=4.0, m=args.m,
+        remat=args.remat,
+    )
+    model_tflops_per_step = mfu_flops * args.batch / 1e12
+    hw_tflops_per_step = hw_flops * args.batch / 1e12
+    step_s = dt / total_steps
+    peak = measure_matmul_peak_tflops(
+        jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    )
+    achieved = model_tflops_per_step / step_s / n_chips
+    achieved_hw = hw_tflops_per_step / step_s / n_chips
+    V5E_DATASHEET_BF16_TFLOPS = 197.0
+
     print(json.dumps({
         "metric": "cifar10_dit_train_images_per_sec_per_chip",
         "value": round(per_chip, 2),
@@ -176,6 +263,14 @@ def main() -> None:
         "steps_per_scan": K,
         "model": f"dim{args.embed_dim}-d{args.depth}-h{args.heads}-p{args.patch_size}",
         "loss": final_loss,
+        "model_tflops_per_step": round(model_tflops_per_step, 3),
+        "achieved_model_tflops_per_sec_per_chip": round(achieved, 2),
+        "measured_matmul_peak_tflops": round(peak, 1),
+        "mfu_vs_measured_peak": round(achieved / peak, 4),
+        "mfu_vs_datasheet_197tflops": round(
+            achieved / V5E_DATASHEET_BF16_TFLOPS, 4),
+        "hw_tflops_per_step_incl_remat": round(hw_tflops_per_step, 3),
+        "hfu_vs_measured_peak": round(achieved_hw / peak, 4),
     }))
 
 

@@ -261,13 +261,18 @@ def build_cifar10_dataloaders(
         process_index=jax.process_index(),
         process_count=jax.process_count(),
     )
+    pc = jax.process_count()
     test_loader = ArrayLoader(
         test,
         config.batch_size,
         shuffle=False,
-        drop_last=False,
+        # multihost eval needs equal per-process slices of every batch, so
+        # the (at most one) ragged tail batch is dropped on pods
+        drop_last=pc > 1,
         normalize=True,
         image_size=config.image_size,
         seed=config.seed + 1,
+        process_index=jax.process_index(),
+        process_count=pc,
     )
     return train_loader, test_loader

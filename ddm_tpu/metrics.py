@@ -146,11 +146,36 @@ def frechet_distance(
     return _frechet.__wrapped__(mu1, sigma1, mu2, sigma2, eps)
 
 
+def _allgather_rows(rows: np.ndarray) -> np.ndarray:
+    """Concatenate per-process row blocks across all JAX processes.
+
+    Single-process: identity. On pods: ``process_allgather`` (SURVEY §5.8
+    names it for exactly this eval-reduction role) stacks every process's
+    block on a new leading axis; flattening recovers the global row set.
+    Requires equal local shapes on every process — callers divide their
+    ``max_items`` caps by ``process_count`` to guarantee it.
+    """
+    if jax.process_count() == 1:
+        return rows
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(jnp.asarray(rows))
+    return np.asarray(gathered).reshape((-1,) + rows.shape[1:])
+
+
+def _local_cap(max_items: Optional[int], multihost: bool) -> Optional[int]:
+    """Per-process share of a global ``max_items`` cap."""
+    if max_items is None or not multihost or jax.process_count() == 1:
+        return max_items
+    return max(max_items // jax.process_count(), 1)
+
+
 def compute_activation_statistics(
     loader: Iterable[Any],
     embedder: EmbedFn,
     max_items: Optional[int] = None,
     batch_size: Optional[int] = None,
+    multihost: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming mean + unbiased covariance of embedder activations.
 
@@ -161,7 +186,14 @@ def compute_activation_statistics(
 
     When a batch is a single oversized array and ``batch_size`` is given, it
     is re-chunked so the embedder always sees fixed shapes (one compile).
+
+    ``multihost=True`` (pods): the loader is expected to yield this
+    process's slice only; each process embeds ``max_items/process_count``
+    features locally and the statistics are computed over the
+    ``process_allgather``-ed global feature set — identical on every
+    process.
     """
+    local_max = _local_cap(max_items, multihost)
     feats_parts = []
     seen = 0
     for batch in loader:
@@ -177,17 +209,19 @@ def compute_activation_statistics(
             acts = jax.device_get(embedder(jnp.asarray(sub)))
             feats_parts.append(np.asarray(acts))
             seen += acts.shape[0]
-            if max_items is not None and seen >= max_items:
+            if local_max is not None and seen >= local_max:
                 break
-        if max_items is not None and seen >= max_items:
+        if local_max is not None and seen >= local_max:
             break
 
     if not feats_parts:
         raise ValueError("No activations collected from the provided loader")
 
     feats = np.concatenate(feats_parts, axis=0)
-    if max_items is not None and feats.shape[0] > max_items:
-        feats = feats[:max_items]
+    if local_max is not None and feats.shape[0] > local_max:
+        feats = feats[:local_max]
+    if multihost:
+        feats = _allgather_rows(feats)
     if feats.shape[0] < 2:
         raise ValueError("Need at least two samples to compute covariance")
 
@@ -219,12 +253,17 @@ def compute_image_mmd(
     real_loader: Iterable[Any],
     sigma: float = 1.0,
     max_items: Optional[int] = None,
+    multihost: bool = False,
 ) -> jnp.ndarray:
     """MMD between generated and real images on flattened raw pixels.
 
     Gathers from both loaders, truncates both sets to the common min count,
     then applies :func:`rbf_mmd2` (reference ``metrics.py:166-204``).
+    ``multihost=True``: loaders yield per-process slices; each process
+    contributes ``max_items/process_count`` rows and the kernel statistic
+    runs on the allgathered global pixel sets.
     """
+    local_max = _local_cap(max_items, multihost)
 
     def gather(loader: Iterable[Any]) -> np.ndarray:
         parts = []
@@ -235,13 +274,15 @@ def compute_image_mmd(
                 images = images.reshape(images.shape[0], -1)
             parts.append(images)
             seen += images.shape[0]
-            if max_items is not None and seen >= max_items:
+            if local_max is not None and seen >= local_max:
                 break
         if not parts:
             raise ValueError("No samples provided for MMD computation")
         arr = np.concatenate(parts, axis=0)
-        if max_items is not None and arr.shape[0] > max_items:
-            arr = arr[:max_items]
+        if local_max is not None and arr.shape[0] > local_max:
+            arr = arr[:local_max]
+        if multihost:
+            arr = _allgather_rows(arr)
         return arr
 
     fake = gather(fake_loader)

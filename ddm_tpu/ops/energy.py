@@ -76,7 +76,12 @@ def _kernel_supported(B: int, m: int, D: int) -> bool:
     sublane_ok = bb % 8 == 0 or bb == B
     # (bb, m, D) fp32 blocks (input + grads in bwd) must stay modest in VMEM
     vmem_ok = bb * m * D * 4 <= 4 * 1024 * 1024
-    return B % bb == 0 and sublane_ok and vmem_ok and m >= 2 and D % 128 == 0
+    # the kernel Python-unrolls all m(m-1)/2 interaction pairs: 28 dot-
+    # reduces at m=8 is fine, but m=32 would unroll 496 (BASELINE.json's
+    # m-sweep point) — route large m to the jnp path, where XLA's fused
+    # pairwise reduction handles it without code-size blowup
+    m_ok = 2 <= m <= 16
+    return B % bb == 0 and sublane_ok and vmem_ok and m_ok and D % 128 == 0
 
 
 def _fwd_kernel(xh_ref, x0_ref, conf_ref, inter_ref, *, m: int, beta: float):

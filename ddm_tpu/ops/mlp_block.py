@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -184,7 +184,7 @@ def _partial_bwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, do_ref,
               None, residual=False)
 
 
-def _row_block(T: int, D: int, F: int) -> int:
+def _row_block(T: int, D: int, F: int, fixed: Optional[int] = None) -> int:
     rb = 1024
     while T % rb != 0 and rb > 8:
         rb //= 2
@@ -192,10 +192,19 @@ def _row_block(T: int, D: int, F: int) -> int:
     # grad accumulators in the backward kernel = 12*D*F bytes) plus the row
     # block's activations must stay inside VMEM. The 15 MB combined bound is
     # the largest measured to compile at D=384/F=1536 (rb=512).
-    fixed = 12 * D * F
+    if fixed is None:
+        fixed = 12 * D * F
     while rb > 8 and fixed + rb * (D * 8 + F * 8) > 15 * 1024 * 1024:
         rb //= 2
     return rb
+
+
+# Forward-only VMEM footprint: just the two bf16 weight matrices resident —
+# no fp32 dW accumulators. This is what lets DiT-B (D=768, F=3072: weights
+# 9.4 MB, 12*D*F = 28 MB) keep a fully-fused FORWARD kernel even though the
+# accumulate-in-VMEM backward cannot fit; see fused_mlp_block_fwdonly.
+def _fwd_fixed(D: int, F: int) -> int:
+    return 4 * D * F
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
@@ -218,7 +227,9 @@ def _specs(T, D, F, rb, dtype):
 def _fused_fwd_call(x, scale, bias, w1, b1, w2, b2):
     T, D = x.shape
     F = w1.shape[1]
-    rb = _row_block(T, D, F)
+    # forward never holds dW accumulators, so it always gets the bigger
+    # forward-only row block (matters at DiT-B widths)
+    rb = _row_block(T, D, F, fixed=_fwd_fixed(D, F))
     sp = _specs(T, D, F, rb, x.dtype)
     return _pallas_call(
         _fwd_kernel,
@@ -286,18 +297,63 @@ def _mlp_kernel_ok(T: int, D: int, F: int) -> bool:
     )
 
 
+def _mlp_fwd_kernel_ok(T: int, D: int, F: int) -> bool:
+    rb = _row_block(T, D, F, fixed=_fwd_fixed(D, F))
+    return (
+        kernels_enabled()
+        and D % 128 == 0
+        and F % 128 == 0
+        and T % rb == 0
+        and _fwd_fixed(D, F) + rb * (D * 8 + F * 8) < 15 * 1024 * 1024
+    )
+
+
+# Large-width variant (DiT-B and beyond): fused FORWARD kernel, XLA
+# backward. The in-VMEM backward needs 12*D*F bytes of weight+dW residents,
+# which at D=768/F=3072 is 28 MB — no row block fits. A chunked-dW Pallas
+# backward cannot win either: accumulating (D, F) fp32 gradients across the
+# T/rb sequential grid steps from HBM costs ~2*(D*F*4)*T/rb bytes of extra
+# traffic (≈ 4.8 GB at the CIFAR DiT-B shape), and a two-pass recompute
+# scheme burns ~2 extra forward-MLP FLOP sets (~2.5 TFLOP/step) — both
+# worse than XLA's stock backward. So past the VMEM wall the right split is
+# kernel-forward (one HBM round trip instead of five) + XLA backward over
+# the saved inputs.
+@jax.custom_vjp
+def _fused_fwdonly(x, scale, bias, w1, b1, w2, b2):
+    return _fused_fwd_call(x, scale, bias, w1, b1, w2, b2)
+
+
+def _fused_fwdonly_fwd(x, scale, bias, w1, b1, w2, b2):
+    out = _fused_fwd_call(x, scale, bias, w1, b1, w2, b2)
+    return out, (x, scale, bias, w1, b1, w2, b2)
+
+
+def _fused_fwdonly_bwd(res, do):
+    x = res[0]
+    _, vjp = jax.vjp(
+        lambda *a: mlp_block_reference(*a, dtype=x.dtype), *res
+    )
+    return vjp(do)
+
+
+_fused_fwdonly.defvjp(_fused_fwdonly_fwd, _fused_fwdonly_bwd)
+
+
 def fused_mlp_block(x, scale, bias, w1, b1, w2, b2):
     """``x + gelu(LN(x) @ w1 + b1) @ w2 + b2`` over (T, D) token rows.
 
-    Kernel on TPU for lane-aligned D/F with T divisible by the row block;
-    jnp reference otherwise. Differentiable either way.
+    Dispatch: fully-fused kernel (fwd + accumulate-in-VMEM bwd) when the
+    12*D*F resident budget fits; else fused forward + XLA backward (DiT-B
+    widths — see the roofline note on ``_fused_fwdonly``); else the jnp
+    reference. Differentiable on every path.
     """
     T, D = x.shape
     F = w1.shape[1]
-    if not _mlp_kernel_ok(T, D, F):
-        return mlp_block_reference(x, scale, bias, w1, b1, w2, b2,
-                                   dtype=x.dtype)
-    return _fused(x, scale, bias, w1, b1, w2, b2)
+    if _mlp_kernel_ok(T, D, F):
+        return _fused(x, scale, bias, w1, b1, w2, b2)
+    if _mlp_fwd_kernel_ok(T, D, F):
+        return _fused_fwdonly(x, scale, bias, w1, b1, w2, b2)
+    return mlp_block_reference(x, scale, bias, w1, b1, w2, b2, dtype=x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -339,7 +395,7 @@ def _fused_partial(x, scale, bias, w1, b1, w2):
 def _fused_partial_fwd_call(x, scale, bias, w1, b1, w2):
     T, D = x.shape
     F = w1.shape[1]
-    rb = _row_block(T, D, F)
+    rb = _row_block(T, D, F, fixed=_fwd_fixed(D, F))
     sp = _specs(T, D, F, rb, x.dtype)
     out32 = pl.BlockSpec((rb, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return _pallas_call(

@@ -106,6 +106,35 @@ def test_cifar_cli_end_to_end(tmp_path, monkeypatch):
     assert "mmd" in ev and len(ev["epoch"]) == 1
 
 
+def test_cifar_cli_dry_eval(tmp_path):
+    """--dry-eval rehearses the full FID+MMD protocol with no training:
+    real stats from the test loader, samples from the untrained model
+    through the real (random-fallback here) Inception tower, and writes
+    eval_metrics.json. This is the 'drop weights at a path and go'
+    rehearsal for the first networked run."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # random-weights fallback warns
+        cifar_cli.main([
+            "--synthetic", "--dry-eval", "--batch", "16",
+            "--embed-dim", "64", "--depth", "1", "--heads", "2",
+            "--time-embed", "16", "--m", "2",
+            "--sample-steps", "2", "--eval-samples", "8",
+            "--eval-batch", "8", "--mmd-samples", "8", "--fid-samples", "8",
+            "--dtype", "float32", "--out", str(tmp_path),
+        ])
+    with open(tmp_path / "eval_metrics.json") as f:
+        ev = json.load(f)
+    assert set(ev) >= {"epoch", "fid", "mmd"}
+    assert ev["epoch"] == [0]
+    import numpy as np
+
+    assert np.isfinite(ev["fid"][0]) and np.isfinite(ev["mmd"][0])
+    # no training artifacts
+    assert not (tmp_path / "model_final.ckpt").exists()
+
+
 def test_shipped_configs_parse_against_cifar_cli():
     """Every shipped CIFAR yaml must be consumable by the CLI parser."""
     import os

@@ -170,6 +170,35 @@ def train(args: argparse.Namespace) -> None:
     rules = DIT_TP_RULES if args.tp > 1 else REPLICATED_RULES
     state, state_shardings = place_train_state(state, mesh, rules)
 
+    if args.dry_eval:
+        # Rehearse the FULL evaluation protocol end-to-end with zero
+        # training (VERDICT r1 item 8): real Inception statistics from the
+        # test loader, eval_samples drawn from the (untrained) model,
+        # FID + pixel MMD — so the first networked run with real data and
+        # weights is a config change, not a debugging session.
+        from ddm_tpu.models.inception import InceptionEmbedding
+
+        fid_embedder = InceptionEmbedding()
+        print(f"[dry-eval] inception pretrained={fid_embedder.pretrained} "
+              f"fid_samples={args.fid_samples} eval_samples={args.eval_samples}",
+              flush=True)
+        fid_stats = compute_activation_statistics(
+            eval_loader, fid_embedder, max_items=args.fid_samples,
+            batch_size=args.eval_batch, multihost=jax.process_count() > 1,
+        )
+        root_key, eval_key = jax.random.split(root_key)
+        metrics = evaluate(model, state, args, eval_loader,
+                           fid_embedder, fid_stats, eval_key)
+        summary = " ".join(f"{k}={v:.6f}" for k, v in sorted(metrics.items()))
+        print(f"[dry-eval] {summary}", flush=True)
+        if is_main:
+            with open(os.path.join(args.out, "eval_metrics.json"), "w",
+                      encoding="utf-8") as f:
+                json.dump({"epoch": [0],
+                           **{k: [float(v)] for k, v in metrics.items()}},
+                          f, indent=2)
+        return
+
     augment = not args.no_augment
 
     def preprocess(key: jax.Array, batch: jnp.ndarray) -> jnp.ndarray:
@@ -304,6 +333,7 @@ def train(args: argparse.Namespace) -> None:
                     fid_stats = compute_activation_statistics(
                         eval_loader, fid_embedder, max_items=args.fid_samples,
                         batch_size=args.eval_batch,
+                        multihost=jax.process_count() > 1,
                     )
                 # split first so the eval sampler's internal key chain can
                 # never collide with subsequent training-step keys
@@ -387,12 +417,36 @@ def evaluate(
     """Sample -> clamp -> FID (vs cached real stats) + pixel MMD.
 
     Reference parity: ``train_cifar10_dit.py:318-358``.
+
+    Multi-host: each process samples ``eval_samples / process_count``
+    images with a process-decorrelated key and embeds its own share; the
+    FID statistics and MMD kernel run on ``process_allgather``-ed global
+    feature/pixel sets, so every process reports identical metrics.
+    (Requires replicated params — DP pods; TP-sharded multihost eval would
+    additionally need a weight allgather and is not wired up.)
     """
+    pc = jax.process_count()
+    multihost = pc > 1
+    n_local = max(args.eval_samples // pc, 1)
+    if multihost:
+        key = jax.random.fold_in(key, jax.process_index())
+
+    def local_replicated(tree):
+        # per-process view of (fully-replicated) global params so local
+        # jit sampling never touches non-addressable shards
+        if not multihost:
+            return tree
+        return jax.tree.map(
+            lambda a: jnp.asarray(a.addressable_data(0))
+            if isinstance(a, jax.Array) and not a.is_fully_addressable else a,
+            tree,
+        )
+
     samples = sample_dddm_batched(
-        model.apply, state.params, key, args.eval_samples,
+        model.apply, local_replicated(state.params), key, n_local,
         steps=args.sample_steps, eps_churn=args.eps_churn,
         data_shape=(args.image_size, args.image_size, 3),
-        chunk_size=min(args.eval_batch * 8, args.eval_samples),
+        chunk_size=min(args.eval_batch * 8, n_local),
     )
     samples = np.clip(np.asarray(samples), -1.0, 1.0)
     fake_batches = [samples[i:i + args.eval_batch]
@@ -403,12 +457,12 @@ def evaluate(
         mu_r, sigma_r = real_stats
         mu_f, sigma_f = compute_activation_statistics(
             fake_batches, embedder, max_items=args.fid_samples,
-            batch_size=args.eval_batch,
+            batch_size=args.eval_batch, multihost=multihost,
         )
         out["fid"] = float(frechet_distance(mu_r, sigma_r, mu_f, sigma_f))
     out["mmd"] = float(compute_image_mmd(
         fake_batches, eval_loader, sigma=args.mmd_sigma,
-        max_items=args.mmd_samples,
+        max_items=args.mmd_samples, multihost=multihost,
     ))
     return out
 
@@ -462,6 +516,10 @@ def main(argv: Optional[list] = None) -> None:
                         help="use synthetic CIFAR-shaped data (air-gapped smoke runs)")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest checkpoint in --out")
+    parser.add_argument("--dry-eval", action="store_true", dest="dry_eval",
+                        help="run the full FID/MMD evaluation protocol once "
+                             "with no training (rehearses the 50k-FID path; "
+                             "combine with --synthetic when air-gapped)")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="write a jax.profiler trace here")
     parser.add_argument("--log-every", type=int, default=50,
