@@ -197,11 +197,17 @@ def main() -> None:
         }))
         return
 
+    from ddm_tpu.models.dit import patchify_images
+
     K = max(args.steps_per_scan, 1)
     step = make_sharded_train_step(
-        model.apply, mesh, shardings, m=args.m, beta=0.1, lam=1.0, w_bias=0.0,
+        # token-space loss: permutation-invariant energy score consumes
+        # DDDMDiT.tokens directly, skipping unpatchify in fwd+bwd
+        lambda p, xt, t, xi: model.apply(p, xt, t, xi, method="tokens"),
+        mesh, shardings, m=args.m, beta=0.1, lam=1.0, w_bias=0.0,
         preprocess=lambda k, b: augment_cifar10(k, b),
         steps_per_scan=K,
+        target_transform=lambda x0: patchify_images(x0, args.patch_size),
     )
 
     shape = (args.batch, 32, 32, 3) if K == 1 else (K, args.batch, 32, 32, 3)

@@ -472,9 +472,10 @@ def _blk_specs(B, N, D, bi, g):
 def _fused_block_fwd_call(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H):
     B, N, D = x.shape
     bi, g = _choose_blocks(B, N, D)
-    # chip-calibrated caps: bi=16 compiles at D=384; at D=768 bi=8 blew the
-    # 16 MB scoped-vmem limit by 246 KB on v5e (weights 4.7 MB + two
-    # bi*N*3D scratch/temp sets), bi=4 fits
+    # chip-calibrated caps: bi=16 at D=384 (bi=8 looked faster standalone
+    # but measured 0.1 ms/block slower inside the full step); at D=768
+    # bi=8 blew the 16 MB scoped-vmem limit by 246 KB on v5e (weights
+    # 4.7 MB + two bi*N*3D scratch/temp sets), bi=4 fits
     bi = min(bi, 16 if D <= 512 else 4)
     mask = _block_mask(g, N)
     row3, const = _blk_specs(B, N, D, bi, g)

@@ -190,11 +190,18 @@ def _row_block(T: int, D: int, F: int, fixed: Optional[int] = None) -> int:
         rb //= 2
     # Budget: fixed VMEM residents (both weight matrices bf16 + both fp32
     # grad accumulators in the backward kernel = 12*D*F bytes) plus the row
-    # block's activations must stay inside VMEM. The 15 MB combined bound is
-    # the largest measured to compile at D=384/F=1536 (rb=512).
+    # block's activations must stay inside VMEM. The backward budget is
+    # 12 MB: rb=512 at D=384/F=1536 compiled in SOME programs but hit
+    # 17.0/16.0 MB scoped-vmem in others (Mosaic stack allocation varies
+    # with surrounding-program layouts); rb=256 compiles everywhere at
+    # +0.35 ms/kernel. The forward (weights-only `fixed`) keeps 15 MB —
+    # rb=512 measured fastest and has far less live state.
     if fixed is None:
+        budget = 12 * 1024 * 1024
         fixed = 12 * D * F
-    while rb > 8 and fixed + rb * (D * 8 + F * 8) > 15 * 1024 * 1024:
+    else:
+        budget = 15 * 1024 * 1024
+    while rb > 8 and fixed + rb * (D * 8 + F * 8) > budget:
         rb //= 2
     return rb
 

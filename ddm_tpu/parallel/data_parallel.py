@@ -57,6 +57,7 @@ def make_sharded_train_step(
     preprocess: Optional[PreprocessFn] = None,
     dp_shard_map: Optional[bool] = None,
     steps_per_scan: int = 1,
+    target_transform: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ):
     """Build a jitted ``(state, key, batch) -> (state, metrics)`` step.
 
@@ -94,7 +95,8 @@ def make_sharded_train_step(
     The raw batch is expected sharded over ``data`` on its leading axis; the
     returned metrics are fully-reduced replicated scalars.
     """
-    loss_fn = make_loss_fn(apply_fn, m=m, beta=beta, lam=lam, w_bias=w_bias)
+    loss_fn = make_loss_fn(apply_fn, m=m, beta=beta, lam=lam, w_bias=w_bias,
+                           target_transform=target_transform)
     batch_spec = NamedSharding(mesh, P(DATA_AXIS))
     repl = NamedSharding(mesh, P())
     if dp_shard_map is None:

@@ -95,6 +95,7 @@ def distributional_training_step(
     lam: float,
     w_bias: float,
     t: Optional[jnp.ndarray] = None,
+    target_transform: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, MetricDict]:
     """Generalized energy training loss (paper eqs. (12)-(14)); pure & jittable.
 
@@ -130,9 +131,15 @@ def distributional_training_step(
     x0hat = apply_fn(params, xt_rep, t_rep, xi_flat)
     x0hat = x0hat.reshape(batch, m, -1)
 
+    # The energy terms reduce over the flattened data axis, which is
+    # permutation-invariant — so apply_fn may emit any fixed permutation of
+    # the data (e.g. DDDMDiT.tokens, skipping unpatchify) as long as
+    # target_transform applies the SAME permutation to x0.
+    x0_target = x0 if target_transform is None else target_transform(x0)
+
     # fused Pallas kernel on TPU for image-sized D, jnp reference otherwise
     conf, inter = fused_energy_terms(
-        x0hat, x0.reshape(batch, -1).astype(jnp.float32), beta
+        x0hat, x0_target.reshape(batch, -1).astype(jnp.float32), beta
     )
     weight = jnp.mean(sigmoid_weight(t.astype(jnp.float32), bias=w_bias))
     loss = weight * (conf - (lam / (2.0 * (m - 1))) * inter)
@@ -147,13 +154,15 @@ def distributional_training_step(
 
 
 def make_loss_fn(
-    apply_fn: ApplyFn, *, m: int, beta: float, lam: float, w_bias: float
+    apply_fn: ApplyFn, *, m: int, beta: float, lam: float, w_bias: float,
+    target_transform: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ) -> Callable[[Any, jax.Array, jnp.ndarray], Tuple[jnp.ndarray, MetricDict]]:
     """Bind hyperparameters into a ``(params, key, x0) -> (loss, metrics)`` fn."""
 
     def loss_fn(params: Any, key: jax.Array, x0: jnp.ndarray):
         return distributional_training_step(
-            apply_fn, params, key, x0, m=m, beta=beta, lam=lam, w_bias=w_bias
+            apply_fn, params, key, x0, m=m, beta=beta, lam=lam, w_bias=w_bias,
+            target_transform=target_transform,
         )
 
     return loss_fn

@@ -60,7 +60,10 @@ class TestAttentionGating:
 
 class TestMlpGating:
     def test_dit_s_fully_fused(self):
-        assert M._row_block(T_ROWS, D_S, F_S) == 512
+        # bwd row block 256 (12 MB budget — rb=512 tripped scoped-vmem in
+        # some program shapes); fwd keeps the faster rb=512
+        assert M._row_block(T_ROWS, D_S, F_S) == 256
+        assert M._row_block(T_ROWS, D_S, F_S, fixed=M._fwd_fixed(D_S, F_S)) == 512
         assert M._mlp_kernel_ok(T_ROWS, D_S, F_S) or not M.kernels_enabled()
 
     def test_dit_b_forward_only(self):

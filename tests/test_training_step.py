@@ -112,3 +112,42 @@ def test_m_expansion_reshape_roundtrip():
     t = jnp.arange(B, dtype=jnp.float32)
     t_rep = jnp.repeat(t, m)
     np.testing.assert_array_equal(np.asarray(t_rep).reshape(B, m)[:, 0], np.asarray(t))
+
+
+def test_tokens_loss_path_matches_image_path():
+    """DDDMDiT.tokens + patchified targets == standard image-space loss.
+
+    The energy score is permutation-invariant over the flattened data axis,
+    so the tokens fast path (skipping unpatchify) must reproduce the loss,
+    metrics, and gradients of the image path exactly (same key)."""
+    import jax
+
+    from ddm_tpu.models.dit import DDDMDiT, patchify_images
+    from ddm_tpu.training import distributional_training_step
+
+    model = DDDMDiT(img_size=8, patch_size=2, embed_dim=32, depth=2,
+                    num_heads=2, time_embed_dim=16, dtype=jnp.float32,
+                    data_format="NHWC")
+    key = jax.random.PRNGKey(0)
+    dummy = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    params = model.init(key, dummy, jnp.zeros((1,)), dummy)
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 3))
+    hp = dict(m=2, beta=0.1, lam=1.0, w_bias=0.0)
+    step_key = jax.random.PRNGKey(2)
+
+    def loss_img(p):
+        return distributional_training_step(
+            model.apply, p, step_key, x0, **hp)[0]
+
+    def loss_tok(p):
+        return distributional_training_step(
+            lambda pp, xt, t, xi: model.apply(pp, xt, t, xi, method="tokens"),
+            p, step_key, x0,
+            target_transform=lambda x: patchify_images(x, 2), **hp)[0]
+
+    l1, g1 = jax.value_and_grad(loss_img)(params)
+    l2, g2 = jax.value_and_grad(loss_tok)(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

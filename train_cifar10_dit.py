@@ -208,14 +208,22 @@ def train(args: argparse.Namespace) -> None:
 
     # tp > 1: the step body runs the LOCAL-shard model instance under
     # shard_map (Pallas kernels on per-shard heads/hidden); sampling and
-    # eval below keep using the full instance.
-    step_apply = build_model(args, tp_axis="model").apply if args.tp > 1 \
-        else model.apply
+    # eval below keep using the full instance. The training loss runs in
+    # token space (DDDMDiT.tokens + patchified targets — permutation-
+    # invariant energy score, skips unpatchify in fwd+bwd).
+    from ddm_tpu.models.dit import patchify_images
+
+    step_model = build_model(args, tp_axis="model") if args.tp > 1 else model
+
+    def step_apply(p, xt, t, xi):
+        return step_model.apply(p, xt, t, xi, method="tokens")
+
     step_fn = make_sharded_train_step(
         step_apply, mesh, state_shardings,
         m=args.m, beta=args.beta, lam=args.lam, w_bias=args.w_bias,
         preprocess=preprocess,
         dp_shard_map=True if args.tp > 1 else None,
+        target_transform=lambda x0: patchify_images(x0, args.patch_size),
     )
 
     global_step = int(state.step)
