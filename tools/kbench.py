@@ -1,0 +1,142 @@
+"""Microbenchmark harness for the DiT half-block Pallas kernels.
+
+Times forward and forward+backward of the attention half-block and the MLP
+half-block at the CIFAR production shape (B*m = 2048 images, N = 64 tokens,
+D = 384 / DiT-B 768), sweeping the image-pack size ``g`` and image block
+``bi`` so kernel-layout decisions in ``ops/attention.py`` are grounded in
+on-chip measurements rather than guesses.
+
+Usage:
+    python tools/kbench.py [--dit-b] [--reps 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _timeit(fn, *args, reps=50, warmup=5):
+    # two input variants (first arg perturbed) defeat any dispatch-level
+    # result caching in the device tunnel
+    args2 = (args[0] + jnp.asarray(1e-3, args[0].dtype),) + args[1:]
+    for _ in range(warmup):
+        out = fn(*args)
+        out = fn(*args2)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = fn(*(args if i % 2 else args2))
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1e3  # ms
+
+
+def bench_attention(B, N, D, H, reps):
+    from ddm_tpu.ops import attention as A
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 8)
+    dt = jnp.bfloat16
+    x = jax.random.normal(ks[0], (B, N, D), dt)
+    sc = jnp.ones((D,), jnp.float32)
+    bi_ = jnp.zeros((D,), jnp.float32)
+    wqkv = (jax.random.normal(ks[1], (D, 3 * D), jnp.float32) * 0.02)
+    bqkv = jnp.zeros((3 * D,), jnp.float32)
+    wproj = (jax.random.normal(ks[2], (D, D), jnp.float32) * 0.02)
+    bproj = jnp.zeros((D,), jnp.float32)
+    do = jax.random.normal(ks[3], (B, N, D), dt)
+    args = (x, sc, bi_, wqkv, bqkv, wproj, bproj)
+
+    def loss_fn(*a):
+        return jnp.sum(A.fused_attention_block(*a, H=H).astype(jnp.float32) * do.astype(jnp.float32))
+
+    fwd = jax.jit(lambda *a: A.fused_attention_block(*a, H=H))
+    vg = jax.jit(jax.grad(loss_fn, argnums=tuple(range(7))))
+
+    t_f = _timeit(fwd, *args, reps=reps)
+    t_b = _timeit(vg, *args, reps=reps)
+    print(f"attn CURRENT dispatch: fwd {t_f:.3f} ms  fwd+bwd {t_b:.3f} ms",
+          flush=True)
+
+    orig_choose = A._choose_blocks
+    results = {}
+    combos = [(2, 16), (2, 32), (2, 8), (4, 8), (4, 32), (8, 16)]
+    for g, bi_cap in combos:
+        if g * N > 512 or B % bi_cap or bi_cap < g:
+            continue
+
+        def patched(Bx, Nx, Dx, dtype_bytes=2, _g=g, _bi=bi_cap):
+            return _bi, _g
+
+        A._choose_blocks = patched
+        try:
+            # fresh jit wrappers -> fresh trace picks up the patched blocks
+            f2 = jax.jit(lambda *a: A.fused_attention_block(*a, H=H))
+            vg2 = jax.jit(jax.grad(loss_fn, argnums=tuple(range(7))))
+            t_f = _timeit(f2, *args, reps=reps)
+            t_b = _timeit(vg2, *args, reps=reps)
+            results[(g, bi_cap)] = (t_f, t_b)
+            print(f"attn g={g} bi={bi_cap}: fwd {t_f:.3f} ms  "
+                  f"fwd+bwd {t_b:.3f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"attn g={g} bi={bi_cap}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+        finally:
+            A._choose_blocks = orig_choose
+    return results
+
+
+def bench_mlp(B, N, D, reps):
+    from ddm_tpu.ops import mlp_block as M
+
+    T = B * N
+    F = 4 * D
+    key = jax.random.PRNGKey(1)
+    ks = jax.random.split(key, 8)
+    dt = jnp.bfloat16
+    x = jax.random.normal(ks[0], (T, D), dt)
+    sc = jnp.ones((D,), jnp.float32)
+    bi_ = jnp.zeros((D,), jnp.float32)
+    w1 = jax.random.normal(ks[1], (D, F), jnp.float32) * 0.02
+    b1 = jnp.zeros((F,), jnp.float32)
+    w2 = jax.random.normal(ks[2], (F, D), jnp.float32) * 0.02
+    b2 = jnp.zeros((D,), jnp.float32)
+    do = jax.random.normal(ks[3], (T, D), dt)
+    args = (x, sc, bi_, w1, b1, w2, b2)
+
+    def loss_fn(*a):
+        return jnp.sum(M.fused_mlp_block(*a).astype(jnp.float32) * do.astype(jnp.float32))
+
+    fwd = jax.jit(lambda *a: M.fused_mlp_block(*a))
+    vg = jax.jit(jax.grad(loss_fn, argnums=tuple(range(7))))
+    t_f = _timeit(fwd, *args, reps=reps)
+    t_b = _timeit(vg, *args, reps=reps)
+    print(f"mlp CURRENT dispatch: fwd {t_f:.3f} ms  fwd+bwd {t_b:.3f} ms",
+          flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dit-b", action="store_true")
+    ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--skip-mlp", action="store_true")
+    args = ap.parse_args()
+
+    B, N = 2048, 64
+    D, H = (768, 12) if args.dit_b else (384, 6)
+    print(f"shapes: B={B} N={N} D={D} H={H} on {jax.devices()[0]}", flush=True)
+    bench_attention(B, N, D, H, args.reps)
+    if not args.skip_mlp:
+        bench_mlp(B, N, D, args.reps)
+
+
+if __name__ == "__main__":
+    main()
