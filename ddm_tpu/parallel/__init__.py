@@ -5,6 +5,7 @@ from .mesh import (
     MODEL_AXIS,
     batch_sharding,
     make_mesh,
+    replicate_tree,
     replicated,
     shard_batch,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "replicated",
     "batch_sharding",
     "shard_batch",
+    "replicate_tree",
     "DIT_TP_RULES",
     "REPLICATED_RULES",
     "spec_for_path",

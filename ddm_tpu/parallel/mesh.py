@@ -30,6 +30,7 @@ __all__ = [
     "replicated",
     "batch_sharding",
     "shard_batch",
+    "replicate_tree",
 ]
 
 DATA_AXIS = "data"
@@ -73,6 +74,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard the leading (batch) axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicate_tree(tree):
+    """All-gather every sharded leaf of ``tree`` to a fully-replicated array.
+
+    Used before host-local sampling when params are tensor-parallel-sharded
+    (Megatron layout): each leaf that is not already fully replicated is
+    passed through a jitted identity with a replicated ``out_sharding`` on
+    its own mesh, which lowers to one XLA all-gather over ICI. Leaves that
+    are already replicated (or are not ``jax.Array``/``NamedSharding``)
+    pass through untouched. Collective: every process of the mesh must call
+    this at the same point (it is a global program), exactly like the train
+    step itself.
+    """
+
+    def rep(a):
+        if not isinstance(a, jax.Array):
+            return a
+        sh = getattr(a, "sharding", None)
+        if not isinstance(sh, NamedSharding) or sh.is_fully_replicated:
+            return a
+        out_sh = NamedSharding(sh.mesh, P())
+        return jax.jit(lambda x: x, out_shardings=out_sh)(a)
+
+    return jax.tree.map(rep, tree)
 
 
 def shard_batch(batch, mesh: Mesh):

@@ -306,3 +306,30 @@ def test_tp_full_instance_matches_tp1_semantics():
         lambda p: jnp.sum(full.apply(p, xt, t, xi) ** 2)
     )(params)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree.leaves(g))
+
+
+def test_replicate_tree_gathers_tp_shards():
+    """replicate_tree all-gathers TP-sharded leaves to replicated arrays
+    with unchanged values and leaves replicated/non-array leaves untouched
+    (the TP-multihost eval prerequisite in train_cifar10_dit.evaluate)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ddm_tpu.parallel import replicate_tree
+
+    mesh = make_mesh(tp=2)
+    w = np.arange(8 * 6, dtype=np.float32).reshape(8, 6)
+    b = np.arange(6, dtype=np.float32)
+    tree = {
+        "kernel": jax.device_put(w, NamedSharding(mesh, P(None, "model"))),
+        "bias": jax.device_put(b, NamedSharding(mesh, P())),
+        "step": 3,
+    }
+    out = replicate_tree(tree)
+    assert out["step"] == 3
+    assert out["bias"] is tree["bias"]  # already replicated: untouched
+    assert out["kernel"].sharding.is_fully_replicated
+    assert out["kernel"].is_fully_addressable
+    np.testing.assert_array_equal(np.asarray(out["kernel"]), w)
+    np.testing.assert_array_equal(
+        np.asarray(out["kernel"].addressable_data(0)), w
+    )

@@ -24,19 +24,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _timeit(fn, *args, reps=50, warmup=5):
-    # two input variants (first arg perturbed) defeat any dispatch-level
-    # result caching in the device tunnel
+def _timeit(fn, *args, reps=30, warmup=3):
+    # two input variants defeat dispatch-level result caching; the final
+    # SCALAR FETCH (not block_until_ready) is the only reliable sync through
+    # the axon remote-TPU relay (see bench.py)
     args2 = (args[0] + jnp.asarray(1e-3, args[0].dtype),) + args[1:]
+
+    def _sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        return float(leaf.ravel()[0])
+
     for _ in range(warmup):
         out = fn(*args)
         out = fn(*args2)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for i in range(reps):
         out = fn(*(args if i % 2 else args2))
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps * 1e3  # ms
+    _sync(out)
+    return (time.perf_counter() - t0) / reps * 1e3
 
 
 def bench_attention(B, N, D, H, reps):

@@ -430,8 +430,9 @@ def evaluate(
     images with a process-decorrelated key and embeds its own share; the
     FID statistics and MMD kernel run on ``process_allgather``-ed global
     feature/pixel sets, so every process reports identical metrics.
-    (Requires replicated params — DP pods; TP-sharded multihost eval would
-    additionally need a weight allgather and is not wired up.)
+    TP-sharded params are first all-gathered to fully-replicated arrays
+    (``ddm_tpu.parallel.replicate_tree`` — one ICI all-gather per sharded
+    leaf, every process participates) so local sampling sees full weights.
     """
     pc = jax.process_count()
     multihost = pc > 1
@@ -440,10 +441,15 @@ def evaluate(
         key = jax.random.fold_in(key, jax.process_index())
 
     def local_replicated(tree):
-        # per-process view of (fully-replicated) global params so local
-        # jit sampling never touches non-addressable shards
+        # per-process view of global params so local jit sampling never
+        # touches non-addressable shards: all-gather TP-sharded leaves to
+        # replicated (collective; no-op for already-replicated DP params),
+        # then take each leaf's local copy
         if not multihost:
             return tree
+        from ddm_tpu.parallel import replicate_tree
+
+        tree = replicate_tree(tree)
         return jax.tree.map(
             lambda a: jnp.asarray(a.addressable_data(0))
             if isinstance(a, jax.Array) and not a.is_fully_addressable else a,
