@@ -48,6 +48,30 @@ def _timeit(fn, *args, reps=30, warmup=3):
     return (time.perf_counter() - t0) / reps * 1e3
 
 
+def _legacy_mha_packed_fwd(qkv, o_scratch, mask, *, bi, N, D, H, g, scale,
+                           dtype):
+    """Pre-diag-softmax packed MHA (full-tile masked softmax) for A/B."""
+    Dh = D // H
+    P = g * N
+    for p in range(bi // g):
+        rows = slice(p * P, (p + 1) * P)
+        for h in range(H):
+            cs = slice(h * Dh, (h + 1) * Dh)
+            qh = qkv[rows, cs]
+            kh = qkv[rows, slice(D + h * Dh, D + (h + 1) * Dh)]
+            vh = qkv[rows, slice(2 * D + h * Dh, 2 * D + (h + 1) * Dh)]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s * scale + mask
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(probs.astype(dtype), vh,
+                        preferred_element_type=jnp.float32)
+            o_scratch[rows, cs] = o.astype(dtype)
+
+
 def _bwd_kernel_ablate(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                        bproj_ref, mask_ref, do_ref,
                        dx_ref, ds_ref, db_ref, dwqkv_ref, dbqkv_ref,
@@ -77,8 +101,8 @@ def _bwd_kernel_ablate(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     qkv = jnp.dot(yb, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
     qkv_scr[:] = qkv.astype(dtype)
     if not skip_recompute_mha:
-        A._mha_packed_fwd(qkv_scr[:], att_scr, mask_ref[:], bi=bi, N=N, D=D,
-                          H=H, g=g, scale=scale, dtype=dtype)
+        _legacy_mha_packed_fwd(qkv_scr[:], att_scr, mask_ref[:], bi=bi, N=N,
+                               D=D, H=H, g=g, scale=scale, dtype=dtype)
     else:
         att_scr[:] = qkv_scr[:, :D]
 
@@ -165,7 +189,7 @@ def run_bwd_variant(x, sc, bi_, wqkv, bqkv, wproj, bproj, do, H, **skips):
     B, N, D = x.shape
     _, g = A._choose_blocks(B, N, D)
     bi = A._bwd_block_images(B, N, D, g)
-    mask = A._block_mask(g, N)
+    mask = jnp.zeros((g * N, g * N), jnp.float32)  # legacy masked-pack layout
     row3, const = A._blk_specs(B, N, D, bi, g)
     Dh = D // H
     kern = functools.partial(_bwd_kernel_ablate, H=H, g=g, scale=Dh**-0.5,
