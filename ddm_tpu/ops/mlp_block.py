@@ -185,6 +185,8 @@ def _partial_bwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, do_ref,
 
 
 def _row_block(T: int, D: int, F: int, fixed: Optional[int] = None) -> int:
+    import os
+
     rb = 1024
     while T % rb != 0 and rb > 8:
         rb //= 2
@@ -196,12 +198,19 @@ def _row_block(T: int, D: int, F: int, fixed: Optional[int] = None) -> int:
     # with surrounding-program layouts); rb=256 compiles everywhere at
     # +0.35 ms/kernel. The forward (weights-only `fixed`) keeps 15 MB —
     # rb=512 measured fastest and has far less live state.
+    #
+    # Escape hatch for programs that still trip Mosaic's 16 MB scoped-vmem
+    # check (layout-dependent): DDM_TPU_MLP_ROW_BLOCK caps rb directly, so
+    # a user hitting the compile error can drop to 256 without code edits.
     if fixed is None:
         budget = 12 * 1024 * 1024
         fixed = 12 * D * F
     else:
         budget = 15 * 1024 * 1024
     while rb > 8 and fixed + rb * (D * 8 + F * 8) > budget:
+        rb //= 2
+    cap = int(os.environ.get("DDM_TPU_MLP_ROW_BLOCK", "0"))
+    while cap and rb > cap and rb > 8:
         rb //= 2
     return rb
 

@@ -69,3 +69,17 @@ def test_row_block_divides():
     for T, D, F in [(131072, 384, 1536), (4096, 384, 1536), (24, 128, 256)]:
         rb = M._row_block(T, D, F)
         assert T % rb == 0 or rb == 8
+
+
+def test_row_block_env_cap(monkeypatch):
+    """DDM_TPU_MLP_ROW_BLOCK caps the kernel row block (the scoped-vmem
+    escape hatch documented in ROADMAP); unset/0 leaves the choice alone,
+    and the cap still respects the T-divisibility walk."""
+    from ddm_tpu.ops.mlp_block import _row_block
+
+    base = _row_block(2048 * 64, 384, 1536)
+    assert base >= 256
+    monkeypatch.setenv("DDM_TPU_MLP_ROW_BLOCK", "256")
+    assert _row_block(2048 * 64, 384, 1536) == 256
+    monkeypatch.setenv("DDM_TPU_MLP_ROW_BLOCK", "0")
+    assert _row_block(2048 * 64, 384, 1536) == base
