@@ -113,6 +113,7 @@ __all__ = [
     "rbf_mmd2",
     "KernelMMDLoss",
     "MMD_loss",
+    "InceptionEmbedding",  # provided lazily via __getattr__ (heavy import)
     "compute_activation_statistics",
     "compute_fid",
     "compute_image_mmd",

@@ -1,0 +1,74 @@
+"""Shell-wrapper contract tests (SURVEY §2 row 17).
+
+The reference scripts (`/root/reference/scripts/run_toy.sh:1-14`,
+`run_cifar10.sh:1-14`) resolve the project root, take an optional leading
+positional config path (default = the shipped YAML), and forward every
+remaining flag to the Python entry point. These tests pin that contract
+hermetically: a fake ``python`` shim first on PATH records the exact argv
+the wrapper execs, so no JAX program runs.
+"""
+
+import os
+import stat
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_wrapper(tmp_path, script, args):
+    shim_dir = tmp_path / "bin"
+    shim_dir.mkdir()
+    argv_file = tmp_path / "argv.txt"
+    shim = shim_dir / "python"
+    shim.write_text(
+        "#!/usr/bin/env bash\n"
+        f'printf "%s\\n" "$@" > "{argv_file}"\n'
+    )
+    shim.chmod(shim.stat().st_mode | stat.S_IEXEC)
+    env = dict(os.environ, PATH=f"{shim_dir}:{os.environ['PATH']}")
+    subprocess.run(
+        [os.path.join(REPO, "scripts", script), *args],
+        check=True, env=env, cwd=str(tmp_path), timeout=30,
+    )
+    return argv_file.read_text().splitlines()
+
+
+@pytest.mark.parametrize(
+    "script,entry,default_cfg",
+    [
+        ("run_toy.sh", "run_example.py", "configs/toy_gmm.yaml"),
+        ("run_cifar10.sh", "train_cifar10_dit.py", "configs/cifar10_dit.yaml"),
+    ],
+)
+def test_wrapper_default_config_and_flag_forwarding(
+    tmp_path, script, entry, default_cfg
+):
+    argv = _run_wrapper(tmp_path, script, ["--epochs", "3", "--seed", "7"])
+    assert argv[0] == os.path.join(REPO, entry)
+    assert argv[1:3] == ["--config", os.path.join(REPO, default_cfg)]
+    assert argv[3:] == ["--epochs", "3", "--seed", "7"]
+
+
+def test_wrapper_positional_config_overrides_default(tmp_path):
+    cfg = tmp_path / "my.yaml"
+    cfg.write_text("epochs: 1\n")
+    argv = _run_wrapper(tmp_path, "run_toy.sh", [str(cfg), "--batch", "64"])
+    assert argv[1:3] == ["--config", str(cfg)]
+    assert argv[3:] == ["--batch", "64"]
+
+
+def test_wrapper_fails_loudly_on_entry_failure(tmp_path):
+    """set -euo pipefail parity: a failing entry point fails the wrapper."""
+    shim_dir = tmp_path / "bin"
+    shim_dir.mkdir()
+    shim = shim_dir / "python"
+    shim.write_text("#!/usr/bin/env bash\nexit 3\n")
+    shim.chmod(shim.stat().st_mode | stat.S_IEXEC)
+    env = dict(os.environ, PATH=f"{shim_dir}:{os.environ['PATH']}")
+    proc = subprocess.run(
+        [os.path.join(REPO, "scripts", "run_toy.sh")],
+        env=env, cwd=str(tmp_path), timeout=30,
+    )
+    assert proc.returncode == 3
