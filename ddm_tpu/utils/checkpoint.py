@@ -31,6 +31,7 @@ from flax import serialization
 __all__ = [
     "save_checkpoint",
     "load_checkpoint",
+    "load_params",
     "save_train_state",
     "restore_train_state",
     "latest_checkpoint",
@@ -85,6 +86,22 @@ def save_train_state(path: str, state: Any, config: Optional[Dict] = None) -> st
         f.write(data)
     os.replace(tmp, path)
     return path
+
+
+def load_params(path: str) -> Tuple[Any, Dict]:
+    """Load just (params state-dict, config) from ANY ddm_tpu checkpoint —
+    both the params-only :func:`save_checkpoint` payload and the full
+    :func:`save_train_state` payload carry a ``params`` entry. Used by
+    inference-only consumers (``generate.py``) that have no TrainState
+    template to restore into; the returned nested plain dict is directly
+    consumable by ``model.apply``.
+    """
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path} is not a ddm_tpu checkpoint")
+        payload = serialization.msgpack_restore(f.read())
+    return payload["params"], json.loads(payload["config_json"])
 
 
 def restore_train_state(path: str, state: Any) -> Tuple[Any, Dict]:

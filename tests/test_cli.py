@@ -159,3 +159,40 @@ def test_shipped_configs_parse_against_cifar_cli():
             raise AssertionError(f"{name} rejected: {exc}") from exc
         for key, value in data.items():
             assert hasattr(ns, key), f"{name}: unknown key {key}"
+
+
+def test_generate_cli_from_checkpoint(tmp_path):
+    """generate.py rebuilds the model from the ckpt-embedded run config and
+    samples without any training-side state: PNG grid + NPZ with samples in
+    [-1, 1] at the run's image size (the inference/serving surface)."""
+    import numpy as np
+
+    import generate as generate_cli
+
+    out = tmp_path / "run"
+    cifar_cli.main([
+        "--synthetic", "--epochs", "1", "--batch", "8",
+        "--embed-dim", "64", "--depth", "1", "--heads", "2",
+        "--time-embed", "16", "--m", "2", "--sample-batch", "0",
+        "--eval-every", "0", "--ckpt-every", "1", "--dtype", "float32",
+        "--out", str(out),
+    ])
+    png = tmp_path / "gen.png"
+    npz = tmp_path / "gen.npz"
+    generate_cli.main([
+        "--ckpt", str(out), "--n", "6", "--batch", "4", "--steps", "2",
+        "--out", str(png), "--npz", str(npz), "--seed", "3",
+    ])
+    assert png.exists()
+    data = np.load(npz)["samples"]
+    assert data.shape == (6, 32, 32, 3)
+    assert np.all(data >= -1.0) and np.all(data <= 1.0)
+    assert np.std(data) > 0
+
+    # deterministic given the same seed/steps
+    npz2 = tmp_path / "gen2.npz"
+    generate_cli.main([
+        "--ckpt", str(out / "model_final.ckpt"), "--n", "6", "--batch", "4",
+        "--steps", "2", "--out", "", "--npz", str(npz2), "--seed", "3",
+    ])
+    np.testing.assert_array_equal(data, np.load(npz2)["samples"])
