@@ -185,6 +185,19 @@ def main() -> None:
         float(x.ravel()[0])
         dt = time.perf_counter() - t0
         sps = n * B / dt
+        # audited sampler FLOPs: 20 denoiser forwards per sample (one per
+        # reverse step), from the same counter the train mode uses
+        mfu_flops, _ = dit_train_flops_per_image(
+            img=32, patch=args.patch_size, dim=args.embed_dim,
+            depth=args.depth, heads=args.heads, time_dim=256, mlp_ratio=4.0,
+            m=1,
+        )
+        fwd_flops = mfu_flops / 3.0  # counter reports fwd+bwd = 3x fwd
+        sample_tflops = 20 * fwd_flops / 1e12
+        peak = measure_matmul_peak_tflops(
+            jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        )
+        achieved = sample_tflops * sps / n_chips
         # analytic baseline analogous to the training one: 20 denoiser
         # forwards/sample ~= 38 GFLOPs; eager A100 @ ~20% peak -> ~1630/s
         print(json.dumps({
@@ -194,6 +207,10 @@ def main() -> None:
             "vs_baseline": round(sps / n_chips / 1630.0, 3),
             "chips": n_chips, "batch": B, "sampler_steps": 20,
             "model": f"dim{args.embed_dim}-d{args.depth}-h{args.heads}-p{args.patch_size}",
+            "sample_tflops": round(sample_tflops, 4),
+            "achieved_tflops_per_sec_per_chip": round(achieved, 2),
+            "measured_matmul_peak_tflops": round(peak, 1),
+            "mfu_vs_measured_peak": round(achieved / peak, 4),
         }))
         return
 
