@@ -38,6 +38,7 @@ configurations the kernel does not support.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -328,8 +329,20 @@ def _blk_bwd_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                     bproj_ref, mask_ref, do_ref,
                     dx_ref, ds_ref, db_ref, dwqkv_ref, dbqkv_ref,
                     dwproj_ref, dbproj_ref,
-                    qkv_scr, att_scr, dqkv_scr,
+                    qkv_scr, att_scr, dqkv_scr, scores_scr, dp_scr,
                     *, H: int, g: int, scale: float):
+    """Persist-probs backward (measured +28% vs recompute-per-head, r2).
+
+    Scores for every (pack, head) of the image block are computed ONCE
+    into the stacked fp32 ``scores_scr`` ((bi//g)*H*P, P), softmaxed in
+    one VPU pass, and reused for the attention-output recompute, dv, and
+    the dS algebra — the interleaved variant paid for QK^T + softmax
+    twice (fwd recompute + bwd) and serialized MXU/VPU phases per head.
+    ``dp_scr`` holds dP then (in place) the scaled dS. Batching each loop
+    into a per-engine phase also gives Mosaic independent work between
+    stores/loads of adjacent heads. Gradients are bit-identical to the
+    previous kernel (same order of fp32 accumulation at equal bi).
+    """
     @pl.when(pl.program_id(0) == 0)
     def _init():
         ds_ref[:] = jnp.zeros_like(ds_ref)
@@ -343,16 +356,42 @@ def _blk_bwd_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     Dh = D // H
     P = g * N
     R = bi * N
+    packs = bi // g
     dtype = x_ref.dtype
 
-    # --- recompute forward ---
+    # --- recompute forward through qkv ---
     xf = x_ref[:].reshape(R, D).astype(jnp.float32)
     y, xhat, inv = _ln(xf, s_ref[:], b_ref[:])
     yb = y.astype(dtype)
     qkv = jnp.dot(yb, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
     qkv_scr[:] = qkv.astype(dtype)
-    _mha_packed_fwd(qkv_scr[:], att_scr, mask_ref[:], bi=bi, N=N, D=D, H=H,
-                    g=g, scale=scale, dtype=dtype)
+
+    # --- scores for every (pack, head), once ---
+    for p in range(packs):
+        rows = slice(p * P, (p + 1) * P)
+        for h in range(H):
+            i = p * H + h
+            qh = qkv_scr[rows, slice(h * Dh, (h + 1) * Dh)]
+            kh = qkv_scr[rows, slice(D + h * Dh, D + (h + 1) * Dh)]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            scores_scr[slice(i * P, (i + 1) * P), :] = s * scale + mask_ref[:]
+    # --- one stacked softmax over the whole block ---
+    sall = scores_scr[:]
+    sall = sall - jnp.max(sall, axis=-1, keepdims=True)
+    e = jnp.exp(sall)
+    scores_scr[:] = e / jnp.sum(e, axis=-1, keepdims=True)
+    # --- attention outputs ---
+    for p in range(packs):
+        rows = slice(p * P, (p + 1) * P)
+        for h in range(H):
+            i = p * H + h
+            vh = qkv_scr[rows, slice(2 * D + h * Dh, 2 * D + (h + 1) * Dh)]
+            pb = scores_scr[slice(i * P, (i + 1) * P), :].astype(dtype)
+            o = jnp.dot(pb, vh, preferred_element_type=jnp.float32)
+            att_scr[rows, slice(h * Dh, (h + 1) * Dh)] = o.astype(dtype)
 
     # --- proj backward ---
     do = do_ref[:].reshape(R, D).astype(jnp.float32)
@@ -367,44 +406,47 @@ def _blk_bwd_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         preferred_element_type=jnp.float32,
     ).astype(dtype)
 
-    # --- attention backward (recompute probs per pack/head) ---
-    for p in range(bi // g):
+    # --- dv and dP (probs reused from scores_scr) ---
+    for p in range(packs):
         rows = slice(p * P, (p + 1) * P)
         for h in range(H):
-            cq = slice(h * Dh, (h + 1) * Dh)
-            ck = slice(D + h * Dh, D + (h + 1) * Dh)
-            cv = slice(2 * D + h * Dh, 2 * D + (h + 1) * Dh)
-            qh = qkv_scr[rows, cq]
-            kh = qkv_scr[rows, ck]
-            vh = qkv_scr[rows, cv]
-            doh = datt[rows, cq]
-            s = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            s = s * scale + mask_ref[:]
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s)
-            probs = e / jnp.sum(e, axis=-1, keepdims=True)
-            pb = probs.astype(dtype)
+            i = p * H + h
+            srows = slice(i * P, (i + 1) * P)
+            doh = datt[rows, slice(h * Dh, (h + 1) * Dh)]
+            vh = qkv_scr[rows, slice(2 * D + h * Dh, 2 * D + (h + 1) * Dh)]
+            pb = scores_scr[srows, :].astype(dtype)
             dv = jax.lax.dot_general(
                 pb, doh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dp = jax.lax.dot_general(
+            dqkv_scr[rows, slice(2 * D + h * Dh, 2 * D + (h + 1) * Dh)] = (
+                dv.astype(dtype))
+            dp_scr[srows, :] = jax.lax.dot_general(
                 doh, vh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dsc = probs * (dp - jnp.sum(probs * dp, axis=-1, keepdims=True))
-            dsb = (dsc * scale).astype(dtype)
+    # --- one stacked dS pass ---
+    probs = scores_scr[:]
+    dpv = dp_scr[:]
+    dsc = probs * (dpv - jnp.sum(probs * dpv, axis=-1, keepdims=True))
+    dp_scr[:] = dsc * scale
+    # --- dq / dk ---
+    for p in range(packs):
+        rows = slice(p * P, (p + 1) * P)
+        for h in range(H):
+            i = p * H + h
+            srows = slice(i * P, (i + 1) * P)
+            qh = qkv_scr[rows, slice(h * Dh, (h + 1) * Dh)]
+            kh = qkv_scr[rows, slice(D + h * Dh, D + (h + 1) * Dh)]
+            dsb = dp_scr[srows, :].astype(dtype)
             dq = jnp.dot(dsb, kh, preferred_element_type=jnp.float32)
             dk = jax.lax.dot_general(
                 dsb, qh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            dqkv_scr[rows, cq] = dq.astype(dtype)
-            dqkv_scr[rows, ck] = dk.astype(dtype)
-            dqkv_scr[rows, cv] = dv.astype(dtype)
+            dqkv_scr[rows, slice(h * Dh, (h + 1) * Dh)] = dq.astype(dtype)
+            dqkv_scr[rows, slice(D + h * Dh, D + (h + 1) * Dh)] = (
+                dk.astype(dtype))
 
     # --- qkv backward ---
     dqkvb = dqkv_scr[:]
@@ -505,7 +547,7 @@ def _fused_block_bwd(H, res, do):
     x, scale_p, bias_p, wqkv, bqkv, wproj, bproj = res
     B, N, D = x.shape
     _, g = _choose_blocks(B, N, D)
-    bi = _bwd_block_images(B, N, D, g)  # backward holds more live state
+    bi = _bwd_block_images(B, N, D, g, H)  # backward holds more live state
     mask = _block_mask(g, N)
     row3, const = _blk_specs(B, N, D, bi, g)
     Dh = D // H
@@ -530,6 +572,8 @@ def _fused_block_bwd(H, res, do):
             pltpu.VMEM((bi * N, 3 * D), x.dtype),
             pltpu.VMEM((bi * N, D), x.dtype),
             pltpu.VMEM((bi * N, 3 * D), x.dtype),
+            pltpu.VMEM(((bi // g) * H * g * N, g * N), jnp.float32),
+            pltpu.VMEM(((bi // g) * H * g * N, g * N), jnp.float32),
         ],
     )(x, scale_p.reshape(1, D), bias_p.reshape(1, D), wqkv.astype(x.dtype),
       bqkv.reshape(1, 3 * D), wproj.astype(x.dtype), bproj.reshape(1, D),
@@ -566,7 +610,14 @@ _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
 def _blk_bwd_split_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                           mask_ref, do_ref,
                           dx_ref, ds_ref, db_ref, dqkv_ref, y_ref, att_ref,
-                          qkv_scr, *, H: int, g: int, scale: float):
+                          qkv_scr, scores_scr, *, H: int, g: int,
+                          scale: float):
+    """Split backward with persist-probs (r2): scores for every
+    (pack, head) are computed once into the stacked fp32 ``scores_scr``
+    and softmaxed in one pass, then reused for the attention output, dv
+    and dS — no QK^T/softmax recompute. Unlike the fully-fused backward
+    this keeps only ONE stack (dP stays a per-head temporary) because the
+    bf16 weight residents at DiT-B widths leave less VMEM headroom."""
     @pl.when(pl.program_id(0) == 0)
     def _init():
         ds_ref[:] = jnp.zeros_like(ds_ref)
@@ -576,6 +627,7 @@ def _blk_bwd_split_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     Dh = D // H
     P = g * N
     R = bi * N
+    packs = bi // g
     dtype = x_ref.dtype
 
     # --- recompute forward (writes persisted y/att straight to outputs) ---
@@ -585,9 +637,24 @@ def _blk_bwd_split_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     y_ref[:] = yb
     qkv = jnp.dot(yb, wqkv_ref[:], preferred_element_type=jnp.float32) + bqkv_ref[:]
     qkv_scr[:] = qkv.astype(dtype)
-    _mha_packed_fwd(qkv_scr[:], att_ref, mask_ref[:], bi=bi, N=N, D=D, H=H,
-                    g=g, scale=scale, dtype=dtype)
 
+    # --- scores for every (pack, head), once ---
+    for p in range(packs):
+        rows = slice(p * P, (p + 1) * P)
+        for h in range(H):
+            i = p * H + h
+            qh = qkv_scr[rows, slice(h * Dh, (h + 1) * Dh)]
+            kh = qkv_scr[rows, slice(D + h * Dh, D + (h + 1) * Dh)]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            scores_scr[slice(i * P, (i + 1) * P), :] = s * scale + mask_ref[:]
+    # --- one stacked softmax ---
+    sall = scores_scr[:]
+    sall = sall - jnp.max(sall, axis=-1, keepdims=True)
+    e = jnp.exp(sall)
+    scores_scr[:] = e / jnp.sum(e, axis=-1, keepdims=True)
     # --- proj backward (dx path only; dWproj happens in XLA) ---
     do = do_ref[:].reshape(R, D).astype(jnp.float32)
     dob = do.astype(dtype)
@@ -596,10 +663,14 @@ def _blk_bwd_split_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
         preferred_element_type=jnp.float32,
     ).astype(dtype)
 
-    # --- attention backward (recompute probs per pack/head) ---
-    for p in range(bi // g):
+    # --- attention output + backward in ONE loop (probs from scores_scr;
+    # a separate output loop doubled the unrolled body count at H=12 and
+    # blew Mosaic's scheduling time from ~30 s to ~480 s) ---
+    for p in range(packs):
         rows = slice(p * P, (p + 1) * P)
         for h in range(H):
+            i = p * H + h
+            srows = slice(i * P, (i + 1) * P)
             cq = slice(h * Dh, (h + 1) * Dh)
             ck = slice(D + h * Dh, D + (h + 1) * Dh)
             cv = slice(2 * D + h * Dh, 2 * D + (h + 1) * Dh)
@@ -607,15 +678,10 @@ def _blk_bwd_split_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
             kh = qkv_scr[rows, ck]
             vh = qkv_scr[rows, cv]
             doh = datt[rows, cq]
-            s = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            s = s * scale + mask_ref[:]
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s)
-            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            probs = scores_scr[srows, :]
             pb = probs.astype(dtype)
+            o = jnp.dot(pb, vh, preferred_element_type=jnp.float32)
+            att_ref[rows, cq] = o.astype(dtype)
             dv = jax.lax.dot_general(
                 pb, doh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -651,16 +717,20 @@ def _blk_bwd_split_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     dx_ref[:] = (do + dx_ln).reshape(bi, N, D).astype(dx_ref.dtype)
 
 
-def _bwd_split_block_images(B: int, N: int, D: int, g: int) -> int:
+def _bwd_split_block_images(B: int, N: int, D: int, g: int, H: int) -> int:
     """Largest split-backward image block fitting the VMEM estimate (0 if
-    none). Residents: both weight matrices bf16 (8*D^2) + the pack mask and
-    fp32 softmax temporaries; per image: x/do/dx/y/att/dqkv blocks, the qkv
-    scratch, and ~4 fp32 row temporaries (~38*N*D bytes total)."""
-    fixed = (D * 3 * D + D * D) * 2 + 4 * (g * N) ** 2 * 4
-    per_bi = 38 * N * D
+    none). Residents: both weight matrices bf16 (8*D^2) + the pack mask;
+    per image: x/do/dx/y/att/dqkv blocks, the qkv scratch, and fp32 row
+    temporaries (~30*N*D bytes total); plus the single stacked fp32
+    persist-probs scratch ((bi//g)*H*P, P). Constants compile-probed on
+    v5e (DiT-B bi=4 fits)."""
+    fixed = (D * 3 * D + D * D) * 2 + (g * N) ** 2 * 4
+    per_bi = 30 * N * D
+    budget = 15500 * 1024
     bi = 8
-    while bi >= g:
-        if B % bi == 0 and fixed + bi * per_bi < 14500 * 1024:
+    while bi >= max(g, 1):
+        stack = (bi // g) * H * (g * N) ** 2 * 4
+        if B % bi == 0 and fixed + bi * per_bi + stack < budget:
             return bi
         bi //= 2
     return 0
@@ -681,7 +751,7 @@ def _fused_block_sb_bwd(H, res, do):
     x, scale_p, bias_p, wqkv, bqkv, wproj, bproj = res
     B, N, D = x.shape
     _, g = _choose_blocks(B, N, D)
-    bi = _bwd_split_block_images(B, N, D, g)
+    bi = _bwd_split_block_images(B, N, D, g, H)
     mask = _block_mask(g, N)
     row3, const = _blk_specs(B, N, D, bi, g)
     rows2 = lambda w: pl.BlockSpec((bi * N, w), lambda i: (i, 0),
@@ -704,7 +774,10 @@ def _fused_block_sb_bwd(H, res, do):
                   row3],
         out_specs=(row3, const((1, D)), const((1, D)), rows2(3 * D),
                    rows2(D), rows2(D)),
-        scratch_shapes=[pltpu.VMEM((bi * N, 3 * D), x.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((bi * N, 3 * D), x.dtype),
+            pltpu.VMEM(((bi // g) * H * g * N, g * N), jnp.float32),
+        ],
     )(x, scale_p.reshape(1, D), bias_p.reshape(1, D), wqkv.astype(x.dtype),
       bqkv.reshape(1, 3 * D), wproj.astype(x.dtype), mask, do)
     dx, ds, db, dqkv, y, att = outs
@@ -725,23 +798,28 @@ def _fused_block_sb_bwd(H, res, do):
 _fused_block_sb.defvjp(_fused_block_sb_fwd, _fused_block_sb_bwd)
 
 
-def _bwd_block_images(B: int, N: int, D: int, g: int) -> int:
+def _bwd_block_images(B: int, N: int, D: int, g: int, H: int) -> int:
     """Largest backward image-block that fits the VMEM estimate (0 if none).
 
     Fixed residents: wqkv/wproj (bf16) + their fp32 grad accumulators +
-    the pack mask + fp32 softmax temporaries; per-image: x/do/dx rows and
-    the qkv/dqkv/attn-out scratch. Budget ~14 MB of the 16 MB VMEM (slack
-    for Mosaic's own buffers/pipelining).
+    the pack mask; per-image: x/do/dx rows, the qkv/dqkv/attn-out bf16
+    scratches and the fp32 LN/recompute temporaries; plus the two stacked
+    fp32 scores/dP scratches ((bi//g)*H*P, P) of the persist-probs
+    backward. Constants compile-probed on v5e (DiT-S bi=8 fits with
+    786 KB modeled margin; N=256 fits bi=2 but not 4).
     """
     fixed = (D * 3 * D + D * D) * (2 + 4) + (g * N) ** 2 * 4
-    # per-image: x/do/dx rows + bf16 scratches (qkv, dqkv, attn-out) + the
-    # fp32 recompute temporaries (qkv, LN activations, dy) ~= 52*N*D bytes
-    # (calibrated so DiT-S bi=8 passes and the measured N=256 OOM fails)
-    per_bi = 52 * N * D
-    temps = 3 * (g * N) ** 2 * 4
+    per_bi = 30 * N * D
+    budget = 16 * 1024 * 1024
+    # Escape hatch (same contract as DDM_TPU_MLP_ROW_BLOCK): the estimate
+    # is not a compiler check, so a program shape that trips scoped-vmem
+    # can cap bi directly without code edits.
+    cap = int(os.environ.get("DDM_TPU_ATTN_BWD_BI", "0"))
     bi = 8
-    while bi >= g:
-        if B % bi == 0 and fixed + bi * per_bi + temps < 14500 * 1024:
+    while bi >= max(g, 1):
+        stacks = 2 * (bi // g) * H * (g * N) ** 2 * 4
+        if (not cap or bi <= cap) and B % bi == 0 \
+                and fixed + bi * per_bi + stacks < budget:
             return bi
         bi //= 2
     return 0
@@ -774,9 +852,9 @@ def fused_attention_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj,
         and D % 128 == 0
         and B % bi == 0
     )
-    if shapes_ok and _bwd_block_images(B, N, D, g) >= g:
+    if shapes_ok and _bwd_block_images(B, N, D, g, H) >= max(g, 1):
         return _fused_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H)
-    if shapes_ok and _bwd_split_block_images(B, N, D, g) >= g:
+    if shapes_ok and _bwd_split_block_images(B, N, D, g, H) >= max(g, 1):
         return _fused_block_sb(x, scale_p, bias_p, wqkv, bqkv, wproj,
                                bproj, H)
     return attention_block_reference(

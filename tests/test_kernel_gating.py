@@ -34,14 +34,14 @@ class TestAttentionGating:
         """DiT-S: the accumulate-in-VMEM backward fits (bi=8 measured r1)."""
         bi, g = A._choose_blocks(BM, N_S, D_S)
         assert (bi, g) == (16, 4)
-        assert A._bwd_block_images(BM, N_S, D_S, g) == 8
+        assert A._bwd_block_images(BM, N_S, D_S, g, 6) == 8
 
     def test_dit_b_splits_backward(self):
         """DiT-B: fp32 dW residents overflow VMEM -> full-fused bwd OFF,
         split backward ON (dx/dqkv kernel + XLA dW)."""
         _, g = A._choose_blocks(BM, N_S, D_B)
-        assert A._bwd_block_images(BM, N_S, D_B, g) == 0
-        assert A._bwd_split_block_images(BM, N_S, D_B, g) >= g
+        assert A._bwd_block_images(BM, N_S, D_B, g, 12) == 0
+        assert A._bwd_split_block_images(BM, N_S, D_B, g, 12) >= g
 
     def test_image_size_64_small_blocks(self):
         """N=256 (image-size 64): no packing (g=1) and the half-block bwd
@@ -49,7 +49,15 @@ class TestAttentionGating:
         PARITY.md's image-size-64 bench row ran through."""
         bi, g = A._choose_blocks(BM, 256, D_S)
         assert g == 1
-        assert A._bwd_block_images(BM, 256, D_S, g) == 2
+        assert A._bwd_block_images(BM, 256, D_S, g, 6) == 2
+
+    def test_attn_bwd_bi_escape_hatch(self, monkeypatch):
+        """DDM_TPU_ATTN_BWD_BI caps the backward image block (scoped-vmem
+        escape hatch, same contract as DDM_TPU_MLP_ROW_BLOCK)."""
+        monkeypatch.setenv("DDM_TPU_ATTN_BWD_BI", "4")
+        assert A._bwd_block_images(BM, N_S, D_S, 4, 6) == 4
+        monkeypatch.setenv("DDM_TPU_ATTN_BWD_BI", "0")
+        assert A._bwd_block_images(BM, N_S, D_S, 4, 6) == 8
 
     def test_standalone_kernel_supported_at_n256(self):
         """The standalone attention kernel itself still covers N=256."""
