@@ -136,7 +136,14 @@ def main() -> None:
                    choices=["train", "sample"],
                    help="train: images/sec/chip of the training step; "
                         "sample: samples/sec of the 20-step reverse sampler")
+    p.add_argument("--fast-gelu", action="store_true",
+                   help="opt-in sigmoid-GELU approximation "
+                        "(DDM_TPU_FAST_GELU=1): deviates from reference "
+                        "numerics; the headline bench stays exact-erf")
     args = p.parse_args()
+    if args.fast_gelu:
+        import os
+        os.environ["DDM_TPU_FAST_GELU"] = "1"
 
     from ddm_tpu.data.augment import augment_cifar10
     from ddm_tpu.models.dit import DDDMDiT

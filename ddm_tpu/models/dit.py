@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ddm_tpu.ops.pallas_config import fast_gelu_enabled
+
 __all__ = [
     "SinusoidalTimeEmbedding",
     "sinusoidal_time_embedding",
@@ -282,7 +284,10 @@ class DiTBlock(nn.Module):
 
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h = nn.Dense(hidden, dtype=self.dtype, name="ff_in")(h)
-        h = nn.gelu(h, approximate=False)
+        if fast_gelu_enabled():  # keep XLA path consistent with the kernels
+            h = h * nn.sigmoid(1.702 * h)
+        else:
+            h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(h)
         return x + h
 

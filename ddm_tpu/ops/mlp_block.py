@@ -10,7 +10,9 @@ of token rows plus BOTH weight matrices resident in VMEM and fuses
 into one pass (fp32 LayerNorm statistics and matmul accumulation, bf16
 matmul operands — identical numerics class to the unfused flax path,
 LN eps = 1e-6 to match ``flax.linen.LayerNorm``; exact erf GELU computed in
-fp32, matching ``nn.gelu(approximate=False)``).
+fp32, matching ``nn.gelu(approximate=False)``). ``DDM_TPU_FAST_GELU=1``
+opts in to the sigmoid GELU approximation in kernels AND fallbacks — a
+documented deviation from reference numerics (see pallas_config).
 
 Backward (``jax.custom_vjp``) recomputes the forward intermediates from the
 saved input block (cheap; avoids storing the hidden activations in HBM) and
@@ -32,7 +34,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_config import interpret_mode, kernels_enabled
+from .pallas_config import fast_gelu_enabled, interpret_mode, kernels_enabled
 
 
 def _pallas_call(*args, **kwargs):
@@ -87,6 +89,41 @@ def _dgelu(h: jnp.ndarray, erf=jax.lax.erf) -> jnp.ndarray:
     )
 
 
+# Opt-in sigmoid GELU (DDM_TPU_FAST_GELU=1; see pallas_config.fast_gelu_
+# enabled for the contract). x*sigmoid(1.702x) is the standard sigmoid
+# approximation (Hendrycks & Gimpel 2016 eq. 5); one logistic replaces the
+# rational erf's divide + 5-term polynomial + exp.
+_FAST_GELU_C = 1.702
+
+
+def _gelu_fast(h: jnp.ndarray) -> jnp.ndarray:
+    return h * jax.nn.sigmoid(_FAST_GELU_C * h)
+
+
+def _dgelu_fast(h: jnp.ndarray) -> jnp.ndarray:
+    s = jax.nn.sigmoid(_FAST_GELU_C * h)
+    return s * (1.0 + _FAST_GELU_C * h * (1.0 - s))
+
+
+def _act(h: jnp.ndarray, erf=_erf_poly) -> jnp.ndarray:
+    """GELU honoring the trace-time fast-gelu switch."""
+    return _gelu_fast(h) if fast_gelu_enabled() else _gelu(h, erf=erf)
+
+
+def _act_fwd_bwd(h: jnp.ndarray):
+    """(gelu(h), gelu'(h)) with the transcendental shared between them."""
+    if fast_gelu_enabled():
+        s = jax.nn.sigmoid(_FAST_GELU_C * h)
+        return h * s, s * (1.0 + _FAST_GELU_C * h * (1.0 - s))
+    # one erf evaluation shared by the GELU recompute and its derivative
+    # (bit-identical to calling _gelu/_dgelu separately; saves a full
+    # rational-erf pass incl. divide+exp on the (rb, F) fp32 block)
+    erf_h = _erf_poly(h * _INV_SQRT2)
+    half_cdf = 0.5 * (1.0 + erf_h)
+    dg = half_cdf + h * _INV_SQRT2PI * jnp.exp(-0.5 * h * h)
+    return 0.5 * h * (1.0 + erf_h), dg
+
+
 def mlp_block_reference(x, scale, bias, w1, b1, w2, b2, dtype=jnp.bfloat16):
     """jnp oracle/fallback; numerics match flax LN(fp32)+Dense(bf16)+gelu."""
     xf = x.astype(jnp.float32)
@@ -96,7 +133,7 @@ def mlp_block_reference(x, scale, bias, w1, b1, w2, b2, dtype=jnp.bfloat16):
         jnp.dot(y, w1.astype(dtype), preferred_element_type=jnp.float32)
         + b1
     )
-    g = _gelu(h).astype(dtype)
+    g = _act(h, erf=jax.lax.erf).astype(dtype)
     out = (
         jnp.dot(g, w2.astype(dtype), preferred_element_type=jnp.float32)
         + b2
@@ -109,7 +146,7 @@ def _fwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref):
     y, _, _ = _ln(xf, s_ref[:], bb_ref[:])
     y = y.astype(x_ref.dtype)
     h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
-    g = _gelu(h, erf=_erf_poly).astype(x_ref.dtype)
+    g = _act(h).astype(x_ref.dtype)
     out = jnp.dot(g, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
     o_ref[:] = (xf + out).astype(o_ref.dtype)
 
@@ -131,7 +168,8 @@ def _bwd_body(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, do_ref,
     yf, xhat, inv = _ln(xf, s_ref[:], bb_ref[:])
     y = yf.astype(x_ref.dtype)
     h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
-    g = _gelu(h, erf=_erf_poly).astype(x_ref.dtype)
+    gf, dfac = _act_fwd_bwd(h)
+    g = gf.astype(x_ref.dtype)
 
     do = do_ref[:].astype(jnp.float32)
     dob = do.astype(x_ref.dtype)
@@ -146,7 +184,7 @@ def _bwd_body(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, do_ref,
         dob, w2_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dh = dg * _dgelu(h, erf=_erf_poly)
+    dh = dg * dfac
     dhb = dh.astype(x_ref.dtype)
 
     # first matmul
@@ -390,7 +428,7 @@ def mlp_partial_reference(x, scale, bias, w1, b1, w2, dtype=jnp.bfloat16):
         jnp.dot(y, w1.astype(dtype), preferred_element_type=jnp.float32)
         + b1
     )
-    g = _gelu(h).astype(dtype)
+    g = _act(h, erf=jax.lax.erf).astype(dtype)
     return jnp.dot(g, w2.astype(dtype), preferred_element_type=jnp.float32)
 
 
@@ -399,7 +437,7 @@ def _partial_fwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, o_ref):
     y, _, _ = _ln(xf, s_ref[:], bb_ref[:])
     y = y.astype(x_ref.dtype)
     h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
-    g = _gelu(h, erf=_erf_poly).astype(x_ref.dtype)
+    g = _act(h).astype(x_ref.dtype)
     o_ref[:] = jnp.dot(g, w2_ref[:], preferred_element_type=jnp.float32)
 
 

@@ -83,3 +83,43 @@ def test_row_block_env_cap(monkeypatch):
     assert _row_block(2048 * 64, 384, 1536) == 256
     monkeypatch.setenv("DDM_TPU_MLP_ROW_BLOCK", "0")
     assert _row_block(2048 * 64, 384, 1536) == base
+
+
+def test_fast_gelu_opt_in(interpret_kernels, monkeypatch):
+    """DDM_TPU_FAST_GELU=1 switches kernel AND fallback to the sigmoid
+    GELU consistently: fused == reference under the flag, both differ
+    from the exact-erf path by a small, activation-shaped amount, and
+    gradients stay fused==reference."""
+    args = _args(T=32)
+    exact = M.mlp_block_reference(*args, dtype=jnp.float32)
+
+    monkeypatch.setenv("DDM_TPU_FAST_GELU", "1")
+    got = M._fused(*args)
+    want = M.mlp_block_reference(*args, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # the approximation is actually active (differs from exact erf) but
+    # bounded by the known max error of x*sigmoid(1.702x) (~0.02) scaled
+    # through W2
+    delta = float(jnp.abs(want - exact).max())
+    assert 1e-6 < delta < 0.1
+
+    do = jax.random.normal(jax.random.PRNGKey(9), args[0].shape)
+    f_ref = lambda *a: jnp.vdot(M.mlp_block_reference(*a, dtype=jnp.float32), do)
+    f_ker = lambda *a: jnp.vdot(M._fused(*a), do)
+    gr = jax.grad(f_ref, argnums=(0, 3, 5))(*args)
+    gk = jax.grad(f_ker, argnums=(0, 3, 5))(*args)
+    for name, a, b in zip(["x", "w1", "w2"], gr, gk):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=f"fast-gelu grad mismatch for {name}",
+        )
+
+
+def test_fast_gelu_derivative_consistent():
+    """_dgelu_fast is the true derivative of _gelu_fast (finite diff)."""
+    x = jnp.linspace(-4, 4, 201)
+    eps = 1e-3
+    fd = (M._gelu_fast(x + eps) - M._gelu_fast(x - eps)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(M._dgelu_fast(x)), np.asarray(fd),
+                               atol=1e-3)  # fp32 central-difference noise
