@@ -1,11 +1,14 @@
-"""Minimal example to train & sample on 2D GMM, matching Section 6.1.
+"""Toy 2-D GMM entry point (paper Section 6.1): train, sample, evaluate.
 
-TPU-native re-implementation of ``/root/reference/run_example.py``: identical
-CLI surface (flags, YAML fill-only-defaults merge, unknown-key rejection),
-identical artifacts (``gen.png``, ``ref.png``, ``metrics.json`` with
-``mmd2_rbf_sigma1`` plus the full per-step training history), identical final
-print. The ``--device`` flag is recorded for parity but placement is decided
-by the JAX runtime (TPU when present).
+TPU-native re-implementation of the reference's ``run_example.py``: the CLI
+surface (flag names, defaults, YAML fill-only-defaults merge, unknown-key
+rejection), the artifact set (``gen.png``, ``ref.png``, ``metrics.json``
+with ``mmd2_rbf_sigma1`` plus the full per-step training history) and the
+final print are parity contracts. Everything else is JAX-shaped: explicit
+PRNG keys, a TrainState instead of a mutable module, a jitted
+``lax.scan`` sampler, and a sampling-throughput block in the metrics
+payload. The ``--device`` flag is recorded for parity but placement is
+decided by the JAX runtime (TPU when present).
 """
 
 import argparse
@@ -26,6 +29,52 @@ from ddm_tpu import (
 )
 from ddm_tpu.utils.config import apply_config
 
+# Flag table: (name, kwargs). The first block is the reference CLI surface
+# verbatim (names and defaults are the parity contract, except --device
+# whose default is this framework's accelerator); the second block is
+# ddm_tpu-specific additions.
+_REFERENCE_FLAGS = (
+    ("--config", dict(type=str, default=None, help="Optional YAML config")),
+    ("--epochs", dict(type=int, default=10000)),
+    ("--batch", dict(type=int, default=512)),
+    ("--beta", dict(type=float, default=0.1)),
+    ("--lam", dict(type=float, default=1.0)),
+    ("--m", dict(type=int, default=8)),
+    ("--w-bias", dict(type=float, default=0.0, dest="w_bias")),
+    ("--lr", dict(type=float, default=2e-3)),
+    ("--steps", dict(type=int, default=20)),
+    ("--device", dict(type=str, default="tpu")),
+    ("--seed", dict(type=int, default=0)),
+    ("--out", dict(type=str, default="./out")),
+    ("--wandb", dict(action="store_true", dest="use_wandb")),
+    ("--wandb-project", dict(type=str, default="dddm")),
+    ("--wandb-name", dict(type=str, default=None)),
+)
+_DDM_TPU_FLAGS = (
+    ("--steps-per-scan", dict(
+        type=int, default=100,
+        help="training steps fused per lax.scan program")),
+    ("--eps-churn", dict(
+        type=float, default=1.0, dest="eps_churn",
+        help="sampler churn (reference hardcodes 1.0 on the toy path; 0.0 "
+             "gives the deterministic bridge and markedly better toy MMD)")),
+    ("--debug-nans", dict(
+        action="store_true",
+        help="enable jax_debug_nans (numerics debugging; slow)")),
+)
+
+# TrainConfig fields fed straight from same-named argparse results.
+_CFG_FIELDS = ("beta", "lam", "m", "w_bias", "lr", "epochs", "batch",
+               "device", "seed", "use_wandb", "wandb_project",
+               "steps_per_scan")
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    for name, kw in _REFERENCE_FLAGS + _DDM_TPU_FLAGS:
+        p.add_argument(name, **kw)
+    return p
+
 
 def _serialize_history(history: dict) -> dict:
     """History lists hold numpy scalars; coerce to plain ints/floats for JSON."""
@@ -37,33 +86,9 @@ def _serialize_history(history: dict) -> dict:
 
 
 def main(argv=None) -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--config", type=str, default=None, help="Optional YAML config")
-    p.add_argument("--epochs", type=int, default=10000)
-    p.add_argument("--batch", type=int, default=512)
-    p.add_argument("--beta", type=float, default=0.1)
-    p.add_argument("--lam", type=float, default=1.0)
-    p.add_argument("--m", type=int, default=8)
-    p.add_argument("--w-bias", type=float, default=0.0, dest="w_bias")
-    p.add_argument("--lr", type=float, default=2e-3)
-    p.add_argument("--steps", type=int, default=20)
-    p.add_argument("--device", type=str, default="tpu")
-    p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--out", type=str, default="./out")
-    p.add_argument("--wandb", action="store_true", dest="use_wandb")
-    p.add_argument("--wandb-project", type=str, default="dddm")
-    p.add_argument("--wandb-name", type=str, default=None)
-    # ddm_tpu additions:
-    p.add_argument("--steps-per-scan", type=int, default=100,
-                   help="training steps fused per lax.scan program")
-    p.add_argument("--eps-churn", type=float, default=1.0, dest="eps_churn",
-                   help="sampler churn (reference hardcodes 1.0 on the toy "
-                        "path; 0.0 gives the deterministic bridge and "
-                        "markedly better toy MMD)")
-    p.add_argument("--debug-nans", action="store_true",
-                   help="enable jax_debug_nans (numerics debugging; slow)")
-    args = p.parse_args(argv)
-    apply_config(p, args)
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+    apply_config(parser, args)  # YAML fills only still-default values
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     import ddm_tpu
@@ -71,26 +96,17 @@ def main(argv=None) -> None:
     ddm_tpu.disable_cache_if_cpu_backend()
 
     cfg = TrainConfig(
-        beta=args.beta,
-        lam=args.lam,
-        m=args.m,
-        w_bias=args.w_bias,
-        lr=args.lr,
-        epochs=args.epochs,
-        batch=args.batch,
-        device=args.device,
-        seed=args.seed,
-        use_wandb=args.use_wandb,
-        wandb_project=args.wandb_project,
         wandb_run_name=args.wandb_name,
-        steps_per_scan=args.steps_per_scan,
+        **{f: getattr(args, f) for f in _CFG_FIELDS},
     )
     os.makedirs(args.out, exist_ok=True)
 
+    # Train (jitted scan-fused loop), then evaluate exactly like the
+    # reference protocol: 4096 generated vs 4096 fresh GMM samples,
+    # unbiased RBF MMD^2 at sigma=1.
     state, history = train_dddm(cfg, outdir=args.out, return_history=True)
 
-    eval_key = jax.random.PRNGKey(cfg.seed + 1)
-    kgen, kref = jax.random.split(eval_key)
+    kgen, kref = jax.random.split(jax.random.PRNGKey(cfg.seed + 1))
     t0 = time.perf_counter()
     xgen = sample_dddm(state.apply_fn, state.params, kgen, n_samples=4096,
                        steps=args.steps, eps_churn=args.eps_churn)
@@ -99,16 +115,17 @@ def main(argv=None) -> None:
     xref = sample_gmm(kref, 4096)
     mmd2 = float(rbf_mmd2(xgen, xref, sigma=1.0))
 
-    save_scatter(xgen, os.path.join(args.out, "gen.png"))
-    save_scatter(xref, os.path.join(args.out, "ref.png"))
+    for points, fname in ((xgen, "gen.png"), (xref, "ref.png")):
+        save_scatter(points, os.path.join(args.out, fname))
 
-    payload: dict[str, Any] = {"mmd2_rbf_sigma1": mmd2}
-    payload["sampling"] = {
-        "samples_per_sec": 4096 / sample_secs,
-        "steps": args.steps,
+    payload: dict[str, Any] = {
+        "mmd2_rbf_sigma1": mmd2,
+        "sampling": {
+            "samples_per_sec": 4096 / sample_secs,
+            "steps": args.steps,
+        },
+        "training": _serialize_history(history),
     }
-    payload["training"] = _serialize_history(history)
-
     with open(os.path.join(args.out, "metrics.json"), "w", encoding="utf-8") as f:
         json.dump(payload, f, indent=2)
     print(f"MMD^2 (rbf σ=1) = {mmd2:.4f}")
