@@ -285,7 +285,8 @@ class DiTBlock(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h = nn.Dense(hidden, dtype=self.dtype, name="ff_in")(h)
         if fast_gelu_enabled():  # keep XLA path consistent with the kernels
-            h = h * nn.sigmoid(1.702 * h)
+            from ddm_tpu.ops.mlp_block import _gelu_fast
+            h = _gelu_fast(h)
         else:
             h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype, name="ff_out")(h)

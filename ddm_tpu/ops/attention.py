@@ -71,7 +71,8 @@ def _choose_blocks(B: int, N: int, D: int, dtype_bytes: int = 2):
     buffering.
     """
     g = max(1, min(256 // N, 8))
-    while B % g != 0:
+    g = 1 << (g.bit_length() - 1)  # power of two: every bi cap/halving
+    while B % g != 0:              # below stays a multiple of g
         g //= 2
     bi = g
     # grow bi while staying under ~6 MB of block buffers (leaves room for
@@ -185,10 +186,27 @@ def _fused_fwd(q, k, v, H: int, scale: float):
     return _fused_fwd_call(q, k, v, H, scale), (q, k, v)
 
 
+def _core_bwd_block_images(B: int, N: int, D: int, g: int) -> int:
+    """Image block for the STANDALONE attention backward (0 if none fits).
+
+    The backward holds seven (bi, N, D) IO blocks (q, k, v, do, dq, dk,
+    dv) double-buffered plus fp32 (P, P) score temporaries. Anchor
+    (measured on v5e): D=1024 with _choose_blocks' bi=8 exceeds scoped
+    vmem by 2.67 MB (18.67/16.00); D<=768 at bi=8 fits."""
+    bi, _ = _choose_blocks(B, N, D)
+    while bi >= max(g, 1):
+        est = 2 * 8 * bi * N * D * 2 + 3 * (g * N) ** 2 * 4
+        if B % bi == 0 and bi % g == 0 and est < 15 * 1024 * 1024:
+            return bi
+        bi //= 2
+    return 0
+
+
 def _fused_bwd(H: int, scale: float, res, do):
     q, k, v = res
     B, N, D = q.shape
-    bi, g = _choose_blocks(B, N, D)
+    _, g = _choose_blocks(B, N, D)
+    bi = _core_bwd_block_images(B, N, D, g)
     mask = _block_mask(g, N)
     spec = pl.BlockSpec((bi, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((g * N, g * N), lambda i: (0, 0),
@@ -234,6 +252,7 @@ def fused_attention(q, k, v, H: int, scale: Optional[float] = None):
     Dh = D // H
     if scale is None:
         scale = Dh**-0.5
+    g = _choose_blocks(B, N, D)[1]
     supported = (
         kernels_enabled()
         and N % 8 == 0
@@ -241,6 +260,7 @@ def fused_attention(q, k, v, H: int, scale: Optional[float] = None):
         and Dh % 8 == 0
         and D % 128 == 0
         and B % _choose_blocks(B, N, D)[0] == 0
+        and _core_bwd_block_images(B, N, D, g) >= max(g, 1)
     )
     if not supported:
         return attention_reference(q, k, v, H, scale)
@@ -511,14 +531,34 @@ def _blk_specs(B, N, D, bi, g):
     return row3, const
 
 
+def _fwd_block_images(B: int, N: int, D: int, g: int) -> int:
+    """Forward image block under chip-calibrated caps + a VMEM estimate
+    (0 = kernel unusable; the pack loop must cover every image, so the
+    result is always a multiple of g).
+
+    Caps: bi=16 at D=384 (bi=8 looked faster standalone but measured
+    0.1 ms/block slower inside the full step); bi=4 beyond D=512 (bi=8
+    at D=768 blew the 16 MB scoped-vmem limit by 246 KB on v5e).
+    Estimate anchors (measured scoped-vmem outcomes on v5e): D=384 bi=16
+    fits, D=768 bi=8 over by 246 KB / bi=4 fits, D=1024 bi=4 over by
+    2.67 MB (18.67/16.00) — weights (8D^2 bytes bf16) + ~30*N*D bytes
+    per image against a 15 MB budget reproduces all four."""
+    bi, _ = _choose_blocks(B, N, D)
+    bi = min(bi, 16 if D <= 512 else 4)
+    fixed = (D * 3 * D + D * D) * 2 + (g * N) ** 2 * 4
+    per_bi = 30 * N * D
+    while bi >= max(g, 1):
+        if B % bi == 0 and bi % g == 0 \
+                and fixed + bi * per_bi < 15 * 1024 * 1024:
+            return bi
+        bi //= 2
+    return 0
+
+
 def _fused_block_fwd_call(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H):
     B, N, D = x.shape
-    bi, g = _choose_blocks(B, N, D)
-    # chip-calibrated caps: bi=16 at D=384 (bi=8 looked faster standalone
-    # but measured 0.1 ms/block slower inside the full step); at D=768
-    # bi=8 blew the 16 MB scoped-vmem limit by 246 KB on v5e (weights
-    # 4.7 MB + two bi*N*3D scratch/temp sets), bi=4 fits
-    bi = min(bi, 16 if D <= 512 else 4)
+    _, g = _choose_blocks(B, N, D)
+    bi = _fwd_block_images(B, N, D, g)
     mask = _block_mask(g, N)
     row3, const = _blk_specs(B, N, D, bi, g)
     Dh = D // H
@@ -727,10 +767,12 @@ def _bwd_split_block_images(B: int, N: int, D: int, g: int, H: int) -> int:
     fixed = (D * 3 * D + D * D) * 2 + (g * N) ** 2 * 4
     per_bi = 30 * N * D
     budget = 15500 * 1024
+    cap = int(os.environ.get("DDM_TPU_ATTN_BWD_BI", "0"))
     bi = 8
     while bi >= max(g, 1):
         stack = (bi // g) * H * (g * N) ** 2 * 4
-        if B % bi == 0 and fixed + bi * per_bi + stack < budget:
+        if (not cap or bi <= cap) and B % bi == 0 and bi % g == 0 \
+                and fixed + bi * per_bi + stack < budget:
             return bi
         bi //= 2
     return 0
@@ -818,7 +860,7 @@ def _bwd_block_images(B: int, N: int, D: int, g: int, H: int) -> int:
     bi = 8
     while bi >= max(g, 1):
         stacks = 2 * (bi // g) * H * (g * N) ** 2 * 4
-        if (not cap or bi <= cap) and B % bi == 0 \
+        if (not cap or bi <= cap) and B % bi == 0 and bi % g == 0 \
                 and fixed + bi * per_bi + stacks < budget:
             return bi
         bi //= 2
@@ -851,7 +893,8 @@ def fused_attention_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj,
         and Dh % 8 == 0
         and D % 128 == 0
         and B % bi == 0
-    )
+        and _fwd_block_images(B, N, D, g) >= g  # capped fwd bi still covers
+    )                                           # whole packs (0 if cap < g)
     if shapes_ok and _bwd_block_images(B, N, D, g, H) >= max(g, 1):
         return _fused_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H)
     if shapes_ok and _bwd_split_block_images(B, N, D, g, H) >= max(g, 1):

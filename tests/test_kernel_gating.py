@@ -59,6 +59,33 @@ class TestAttentionGating:
         monkeypatch.setenv("DDM_TPU_ATTN_BWD_BI", "0")
         assert A._bwd_block_images(BM, N_S, D_S, 4, 6) == 8
 
+    def test_fwd_cap_below_pack_disables_kernel(self, monkeypatch):
+        """N=16 at DiT-B width: the D>512 VMEM cap (bi=4) is below the
+        pack size (g=8), so the half-block kernel must be rejected — its
+        pack loop would cover zero images — and the XLA fallback must
+        produce correct values (regression for a pre-fix silent-garbage
+        path)."""
+        assert A._choose_blocks(2048, 16, 768)[1] == 8
+        assert A._fwd_block_images(2048, 16, 768, 8) == 0
+
+        monkeypatch.setenv("DDM_TPU_PALLAS_INTERPRET", "1")
+        rng = np.random.default_rng(7)
+        B, N, D, H = 16, 16, 768, 12
+        x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+        sp = jnp.ones((D,), jnp.float32)
+        bp = jnp.zeros((D,), jnp.float32)
+        wqkv = jnp.asarray(
+            (rng.normal(size=(D, 3 * D)) / np.sqrt(D)).astype(np.float32))
+        bqkv = jnp.zeros((3 * D,), jnp.float32)
+        wproj = jnp.asarray(
+            (rng.normal(size=(D, D)) / np.sqrt(D)).astype(np.float32))
+        bproj = jnp.zeros((D,), jnp.float32)
+        out = A.fused_attention_block(x, sp, bp, wqkv, bqkv, wproj, bproj, H)
+        ref = A.attention_block_reference(x, sp, bp, wqkv, bqkv, wproj,
+                                          bproj, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
     def test_standalone_kernel_supported_at_n256(self):
         """The standalone attention kernel itself still covers N=256."""
         B, N, D = 512, 256, 384

@@ -349,7 +349,7 @@ def persist_bwd_call(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, do, H,
                      bi_override=None):
     B, N, D = x.shape
     _, g = A._choose_blocks(B, N, D)
-    bi = bi_override or A._bwd_block_images(B, N, D, g)
+    bi = bi_override or A._bwd_block_images(B, N, D, g, H)
     mask = A._block_mask(g, N)
     row3, const = A._blk_specs(B, N, D, bi, g)
     Dh = D // H
@@ -389,7 +389,7 @@ def phase_bwd_call(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, do, H,
                    bi_override=None):
     B, N, D = x.shape
     _, g = A._choose_blocks(B, N, D)
-    bi = bi_override or A._bwd_block_images(B, N, D, g)
+    bi = bi_override or A._bwd_block_images(B, N, D, g, H)
     mask = A._block_mask(g, N)
     row3, const = A._blk_specs(B, N, D, bi, g)
     Dh = D // H
@@ -484,7 +484,7 @@ def main():
     cur_b = jax.jit(lambda do_, *a_: A._fused_block_bwd(H, a_, do_))
     ref_b = cur_b(do, *a)
     t_cur_b = _timeit(cur_b, do, *a, reps=args.reps)
-    print(f"current bwd (bi={A._bwd_block_images(B, N, D, 4)}): "
+    print(f"current bwd (bi={A._bwd_block_images(B, N, D, 4, H)}): "
           f"{t_cur_b:.3f} ms", flush=True)
 
     for bi_try in (8, 4):

@@ -188,7 +188,7 @@ def _bwd_kernel_ablate(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
 def run_bwd_variant(x, sc, bi_, wqkv, bqkv, wproj, bproj, do, H, **skips):
     B, N, D = x.shape
     _, g = A._choose_blocks(B, N, D)
-    bi = A._bwd_block_images(B, N, D, g)
+    bi = A._bwd_block_images(B, N, D, g, H)
     mask = jnp.zeros((g * N, g * N), jnp.float32)  # legacy masked-pack layout
     row3, const = A._blk_specs(B, N, D, bi, g)
     Dh = D // H
