@@ -81,7 +81,13 @@ def main(argv: Optional[list] = None) -> None:
                    help="PNG grid path ('' disables)")
     p.add_argument("--npz", type=str, default=None,
                    help="also save raw samples ([-1,1] NHWC float32) as NPZ")
+    p.add_argument("--fast-gelu", action="store_true",
+                   help="sigmoid-GELU approximation (DDM_TPU_FAST_GELU=1): "
+                        "+17%% sampler throughput at a documented numerics "
+                        "deviation from the checkpoint's training activation")
     args = p.parse_args(argv)
+    if args.fast_gelu:
+        os.environ["DDM_TPU_FAST_GELU"] = "1"
 
     path = _resolve_ckpt(args.ckpt)
     params, config = ckpt_lib.load_params(path)

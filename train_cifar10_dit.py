@@ -550,8 +550,15 @@ def main(argv: Optional[list] = None) -> None:
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() for TPU pod "
                              "slices (also implied by JAX_COORDINATOR_ADDRESS)")
+    parser.add_argument("--fast-gelu", action="store_true",
+                        help="sigmoid-GELU approximation (DDM_TPU_FAST_GELU=1)"
+                             ": +10.5%% train throughput at a documented "
+                             "numerics deviation from the reference's exact-"
+                             "erf GELU (loss delta 1.4e-5 after 30 steps)")
     args = parser.parse_args(argv)
     apply_config(parser, args)
+    if args.fast_gelu:
+        os.environ["DDM_TPU_FAST_GELU"] = "1"
 
     if args.multihost or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
