@@ -248,10 +248,12 @@ def main() -> None:
 
     for i in range(max(args.warmup // K, 1)):
         state, metrics = step(state, jax.random.fold_in(key, i), batch)
-    # sync via a value fetch: through remote-TPU relays (axon),
-    # block_until_ready can return before execution completes, but a
-    # device->host scalar transfer cannot
-    last_loss(metrics)
+        # sync EVERY warmup step via a value fetch: through remote-TPU
+        # relays (axon), block_until_ready can return before execution
+        # completes, but a device->host scalar transfer cannot — and a
+        # long cold compile can otherwise bleed into the timed window
+        # (measured: DiT-B fast-GELU 9.5 img/s cold vs 424 warm)
+        last_loss(metrics)
 
     n_calls = max(args.steps // K, 1)
     t0 = time.perf_counter()
