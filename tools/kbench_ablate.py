@@ -5,6 +5,13 @@ recompute VPU work, the dS VPU work, the LayerNorm backward, the dW
 accumulation matmuls) to attribute the measured 6.2 ms/block to engines.
 Results are WRONG numerically — this is a time-attribution tool only.
 
+HISTORICAL BASELINE: the kernel copy ablated here is the r2
+*interleaved-recompute* backward. Its ablation table (ROOFLINE.md §2)
+motivated the persist-probs backward that replaced it in production
+(`ops/attention.py::_blk_bwd_kernel`, +28%) — the −0.61 ms softmax
+recompute and −1.08 ms MHA recompute rows are exactly what persisting
+the stacked probabilities eliminated. Kept as the comparison baseline.
+
 Usage: python tools/kbench_ablate.py [--reps 30]
 """
 
