@@ -92,6 +92,7 @@ from .metrics import (
 from .utils.plotting import plot_training_curves, save_image_grid, save_scatter
 from .models.mlp import DDDMMLP
 from .models.dit import DDDMDiT
+from .models.factory import MODEL_DEFAULTS, SAMPLER_DEFAULTS, build_model
 
 __version__ = "0.1.0"
 
@@ -123,6 +124,9 @@ __all__ = [
     "plot_training_curves",
     "DDDMMLP",
     "DDDMDiT",
+    "build_model",
+    "MODEL_DEFAULTS",
+    "SAMPLER_DEFAULTS",
 ]
 
 

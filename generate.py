@@ -27,27 +27,14 @@ import ddm_tpu  # noqa: F401  (configures the compilation cache)
 import jax
 import numpy as np
 
+from ddm_tpu.models.factory import (
+    MODEL_DEFAULTS,
+    SAMPLER_DEFAULTS,
+    build_model,
+)
 from ddm_tpu.sampling import sample_dddm_batched
 from ddm_tpu.utils import checkpoint as ckpt_lib
 from ddm_tpu.utils.plotting import save_image_grid
-
-# config keys build_model needs; value = default when a (hand-written)
-# config omits the key. Matches train_cifar10_dit.py's argparse defaults.
-_MODEL_DEFAULTS = {
-    "image_size": 32,
-    "patch_size": 4,
-    "embed_dim": 384,
-    "depth": 8,
-    "heads": 6,
-    "time_embed": 256,
-    "mlp_ratio": 4.0,
-    "dtype": "bfloat16",
-    "attention": "auto",
-    "remat": False,
-    "tp": 1,
-    "sample_steps": 20,
-    "eps_churn": 1.0,
-}
 
 
 def _resolve_ckpt(path: str) -> str:
@@ -68,7 +55,9 @@ def main(argv: Optional[list] = None) -> None:
                    help="checkpoint file, or a training output dir "
                         "(model_final.ckpt, else the latest epoch ckpt)")
     p.add_argument("--config", type=str, default=None,
-                   help="config.json overriding the ckpt-embedded config")
+                   help="config.json overlaid on the ckpt-embedded config "
+                        "(keys you specify win; unspecified keys keep the "
+                        "run's values)")
     p.add_argument("--n", type=int, default=64, help="number of samples")
     p.add_argument("--batch", type=int, default=256,
                    help="sampler chunk size (one compile, bounded HBM)")
@@ -92,20 +81,20 @@ def main(argv: Optional[list] = None) -> None:
     path = _resolve_ckpt(args.ckpt)
     params, config = ckpt_lib.load_params(path)
     if args.config:
+        # Overlay semantics: a partial override file changes only the keys
+        # it names; everything else keeps the checkpointed run's values
+        # (a wholesale replace used to silently reset unspecified keys to
+        # DiT-S defaults).
         with open(args.config, "r", encoding="utf-8") as f:
-            config = json.load(f)
-    cfg = {**_MODEL_DEFAULTS, **{k: v for k, v in config.items() if v is not None}}
+            config = {**config, **json.load(f)}
+    cfg = {**SAMPLER_DEFAULTS, **{k: v for k, v in config.items()
+                                  if v is not None}}
 
-    from train_cifar10_dit import build_model  # shared constructor
-
-    model = build_model(argparse.Namespace(**{
-        k: cfg[k] for k in _MODEL_DEFAULTS if k not in ("sample_steps",
-                                                        "eps_churn")
-    }))
+    model = build_model(cfg)  # missing model keys fall back in the factory
     steps = args.steps if args.steps is not None else int(cfg["sample_steps"])
     churn = (args.eps_churn if args.eps_churn is not None
              else float(cfg["eps_churn"]))
-    size = int(cfg["image_size"])
+    size = int(cfg.get("image_size", MODEL_DEFAULTS["image_size"]))
 
     if args.n < 1:
         raise SystemExit("--n must be positive")

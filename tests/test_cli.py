@@ -161,6 +161,17 @@ def test_shipped_configs_parse_against_cifar_cli():
             assert hasattr(ns, key), f"{name}: unknown key {key}"
 
 
+def test_cli_model_defaults_match_factory():
+    """The train CLI's model/sampler flag defaults and the package factory
+    defaults are one source of truth (VERDICT r2: generate.py used to
+    hand-duplicate them and the copies could drift)."""
+    from ddm_tpu.models.factory import MODEL_DEFAULTS, SAMPLER_DEFAULTS
+
+    ns = cifar_cli.build_parser().parse_args([])
+    for key, value in {**MODEL_DEFAULTS, **SAMPLER_DEFAULTS}.items():
+        assert getattr(ns, key) == value, key
+
+
 def test_generate_cli_from_checkpoint(tmp_path):
     """generate.py rebuilds the model from the ckpt-embedded run config and
     samples without any training-side state: PNG grid + NPZ with samples in
@@ -196,3 +207,15 @@ def test_generate_cli_from_checkpoint(tmp_path):
         "--steps", "2", "--out", "", "--npz", str(npz2), "--seed", "3",
     ])
     np.testing.assert_array_equal(data, np.load(npz2)["samples"])
+
+    # --config overlays the ckpt config: a partial override file touching
+    # only sampler keys must NOT reset the model keys (embed_dim=64 here)
+    # to DiT-S defaults — the params would no longer fit the model.
+    override = tmp_path / "override.json"
+    override.write_text(json.dumps({"eps_churn": 0.0}))
+    npz3 = tmp_path / "gen3.npz"
+    generate_cli.main([
+        "--ckpt", str(out), "--config", str(override), "--n", "2",
+        "--batch", "2", "--steps", "2", "--out", "", "--npz", str(npz3),
+    ])
+    assert np.load(npz3)["samples"].shape == (2, 32, 32, 3)

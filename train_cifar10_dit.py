@@ -49,6 +49,7 @@ from ddm_tpu.metrics import (
     frechet_distance,
 )
 from ddm_tpu.models.dit import DDDMDiT
+from ddm_tpu.models.factory import MODEL_DEFAULTS, SAMPLER_DEFAULTS, build_model
 from ddm_tpu.parallel import (
     DIT_TP_RULES,
     REPLICATED_RULES,
@@ -91,31 +92,8 @@ def maybe_init_wandb(args: argparse.Namespace):
     return run, wandb
 
 
-def build_model(args: argparse.Namespace, tp_axis: Optional[str] = None) -> DDDMDiT:
-    """One DDDMDiT instance. With ``--tp N`` the model uses the Megatron
-    layout (separate column-parallel q/k/v projections) and the training
-    step runs a second instance with ``tp_axis='model'`` inside shard_map
-    so the Pallas kernels stay active on local head/hidden shards — the
-    r1 downgrade to the unfused XLA block is gone."""
-    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[args.dtype]
-    return DDDMDiT(
-        img_size=args.image_size,
-        patch_size=args.patch_size,
-        in_channels=3 * 2,
-        out_channels=3,
-        embed_dim=args.embed_dim,
-        depth=args.depth,
-        num_heads=args.heads,
-        time_embed_dim=args.time_embed,
-        mlp_ratio=args.mlp_ratio,
-        dtype=dtype,
-        data_format="NHWC",  # loader yields NHWC; TPU-preferred layout
-        attention_impl=args.attention,
-        fused_mlp=True,
-        remat=args.remat,
-        tp=args.tp,
-        tp_axis=tp_axis,
-    )
+# build_model lives in ddm_tpu.models.factory (one source of truth shared
+# with generate.py and library users); imported above.
 
 
 def train(args: argparse.Namespace) -> None:
@@ -481,7 +459,7 @@ def evaluate(
     return out
 
 
-def main(argv: Optional[list] = None) -> None:
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", type=str, default=None, help="Optional YAML config")
     parser.add_argument("--data-dir", type=str, default="./data")
@@ -498,17 +476,27 @@ def main(argv: Optional[list] = None) -> None:
     parser.add_argument("--ckpt-every", type=int, default=1)
     parser.add_argument("--device", type=str, default="tpu")
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--image-size", type=int, default=32)
-    parser.add_argument("--patch-size", type=int, default=4)
-    parser.add_argument("--embed-dim", type=int, default=384)
-    parser.add_argument("--depth", type=int, default=8)
-    parser.add_argument("--heads", type=int, default=6)
-    parser.add_argument("--time-embed", type=int, default=256)
-    parser.add_argument("--mlp-ratio", type=float, default=4.0)
+    # Model-construction flags: defaults come from the factory's
+    # MODEL_DEFAULTS so the CLI and ddm_tpu.build_model cannot drift
+    # (pinned by tests/test_cli.py::test_cli_model_defaults_match_factory).
+    parser.add_argument("--image-size", type=int,
+                        default=MODEL_DEFAULTS["image_size"])
+    parser.add_argument("--patch-size", type=int,
+                        default=MODEL_DEFAULTS["patch_size"])
+    parser.add_argument("--embed-dim", type=int,
+                        default=MODEL_DEFAULTS["embed_dim"])
+    parser.add_argument("--depth", type=int, default=MODEL_DEFAULTS["depth"])
+    parser.add_argument("--heads", type=int, default=MODEL_DEFAULTS["heads"])
+    parser.add_argument("--time-embed", type=int,
+                        default=MODEL_DEFAULTS["time_embed"])
+    parser.add_argument("--mlp-ratio", type=float,
+                        default=MODEL_DEFAULTS["mlp_ratio"])
     parser.add_argument("--workers", type=int, default=4)
     parser.add_argument("--sample-batch", type=int, default=64)
-    parser.add_argument("--sample-steps", type=int, default=20)
-    parser.add_argument("--eps-churn", type=float, default=1.0)
+    parser.add_argument("--sample-steps", type=int,
+                        default=SAMPLER_DEFAULTS["sample_steps"])
+    parser.add_argument("--eps-churn", type=float,
+                        default=SAMPLER_DEFAULTS["eps_churn"])
     parser.add_argument("--no-augment", action="store_true", help="Disable data augmentation")
     parser.add_argument("--eval-every", type=int, default=0, help="Evaluate every N epochs (0 disables)")
     parser.add_argument("--eval-batch", type=int, default=256, help="Batch size for evaluation loaders")
@@ -520,11 +508,12 @@ def main(argv: Optional[list] = None) -> None:
     parser.add_argument("--wandb-project", type=str, default="dddm")
     parser.add_argument("--wandb-name", type=str, default=None)
     # ddm_tpu additions:
-    parser.add_argument("--dtype", type=str, default="bfloat16",
+    parser.add_argument("--dtype", type=str, default=MODEL_DEFAULTS["dtype"],
                         choices=["float32", "bfloat16"], help="compute dtype")
-    parser.add_argument("--tp", type=int, default=1,
+    parser.add_argument("--tp", type=int, default=MODEL_DEFAULTS["tp"],
                         help="tensor-parallel degree over the 'model' mesh axis")
-    parser.add_argument("--attention", type=str, default="auto",
+    parser.add_argument("--attention", type=str,
+                        default=MODEL_DEFAULTS["attention"],
                         choices=["auto", "xla", "flash"], help="attention impl")
     parser.add_argument("--synthetic", action="store_true",
                         help="use synthetic CIFAR-shaped data (air-gapped smoke runs)")
@@ -555,6 +544,11 @@ def main(argv: Optional[list] = None) -> None:
                              ": +10.5%% train throughput at a documented "
                              "numerics deviation from the reference's exact-"
                              "erf GELU (loss delta 1.4e-5 after 30 steps)")
+    return parser
+
+
+def main(argv: Optional[list] = None) -> None:
+    parser = build_parser()
     args = parser.parse_args(argv)
     apply_config(parser, args)
     if args.fast_gelu:
