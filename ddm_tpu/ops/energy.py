@@ -78,8 +78,9 @@ def _kernel_supported(B: int, m: int, D: int) -> bool:
     vmem_ok = bb * m * D * 4 <= 4 * 1024 * 1024
     # the kernel Python-unrolls all m(m-1)/2 interaction pairs: 28 dot-
     # reduces at m=8 is fine, but m=32 would unroll 496 (BASELINE.json's
-    # m-sweep point) — route large m to the jnp path, where XLA's fused
-    # pairwise reduction handles it without code-size blowup
+    # m-sweep point) — route large m to the jnp path, whose anchor-row-
+    # streamed interaction (losses._interaction_mean_chunked) keeps memory
+    # O(B*m*D) at image scale instead of materialising (B, m, m, D)
     m_ok = 2 <= m <= 16
     return B % bb == 0 and sublane_ok and vmem_ok and m_ok and D % 128 == 0
 

@@ -393,12 +393,71 @@ def _fused_fwdonly_bwd(res, do):
 _fused_fwdonly.defvjp(_fused_fwdonly_fwd, _fused_fwdonly_bwd)
 
 
+# F-chunked forward (DiT-L and beyond; VERDICT r2 item 1): at D=1024 /
+# F=4096 even the weights-only forward residents are 4*D*F = 16.8 MB, so
+# the one-shot forward kernel gates off and r2 left the whole half-block
+# to XLA (five HBM round trips). Splitting the hidden axis into k column
+# chunks — out = x + b2 + sum_c gelu(LN(x) @ w1[:,c] + b1[c]) @ w2[c,:] —
+# brings the residents down to 4*D*F/k per pass at the cost of k-1 extra
+# LN recomputes (pure VPU, negligible) and k fp32 partial outputs summed
+# in XLA. Each pass reuses the TP partial-product kernel verbatim; the
+# backward stays XLA over the saved inputs, exactly like _fused_fwdonly.
+def _mlp_fwd_fchunks(T: int, D: int, F: int) -> int:
+    """Smallest power-of-two F-chunk count whose forward kernel fits
+    (1 = unchunked; 0 = nothing fits)."""
+    k = 1
+    while k <= 8:
+        if F % (k * 128) == 0 and _mlp_fwd_kernel_ok(T, D, F // k):
+            return k
+        k *= 2
+    return 0
+
+
+def _fchunked_fwd_call(x, scale, bias, w1, b1, w2, b2):
+    T, D = x.shape
+    F = w1.shape[1]
+    k = _mlp_fwd_fchunks(T, D, F)
+    Fc = F // k
+    acc = None
+    for c in range(k):
+        part = _fused_partial_fwd_call(
+            x, scale, bias, w1[:, c * Fc:(c + 1) * Fc],
+            b1[c * Fc:(c + 1) * Fc], w2[c * Fc:(c + 1) * Fc, :],
+        )
+        acc = part if acc is None else acc + part
+    out = x.astype(jnp.float32) + acc + b2
+    return out.astype(x.dtype)
+
+
+@jax.custom_vjp
+def _fused_fwdonly_fchunked(x, scale, bias, w1, b1, w2, b2):
+    return _fchunked_fwd_call(x, scale, bias, w1, b1, w2, b2)
+
+
+def _fused_fwdonly_fchunked_fwd(x, scale, bias, w1, b1, w2, b2):
+    out = _fchunked_fwd_call(x, scale, bias, w1, b1, w2, b2)
+    return out, (x, scale, bias, w1, b1, w2, b2)
+
+
+def _fused_fwdonly_fchunked_bwd(res, do):
+    x = res[0]
+    _, vjp = jax.vjp(
+        lambda *a: mlp_block_reference(*a, dtype=x.dtype), *res
+    )
+    return vjp(do)
+
+
+_fused_fwdonly_fchunked.defvjp(_fused_fwdonly_fchunked_fwd,
+                               _fused_fwdonly_fchunked_bwd)
+
+
 def fused_mlp_block(x, scale, bias, w1, b1, w2, b2):
     """``x + gelu(LN(x) @ w1 + b1) @ w2 + b2`` over (T, D) token rows.
 
     Dispatch: fully-fused kernel (fwd + accumulate-in-VMEM bwd) when the
     12*D*F resident budget fits; else fused forward + XLA backward (DiT-B
-    widths — see the roofline note on ``_fused_fwdonly``); else the jnp
+    widths — see the roofline note on ``_fused_fwdonly``); else the
+    F-chunked forward + XLA backward (DiT-L widths); else the jnp
     reference. Differentiable on every path.
     """
     T, D = x.shape
@@ -407,6 +466,8 @@ def fused_mlp_block(x, scale, bias, w1, b1, w2, b2):
         return _fused(x, scale, bias, w1, b1, w2, b2)
     if _mlp_fwd_kernel_ok(T, D, F):
         return _fused_fwdonly(x, scale, bias, w1, b1, w2, b2)
+    if kernels_enabled() and D % 128 == 0 and _mlp_fwd_fchunks(T, D, F) > 1:
+        return _fused_fwdonly_fchunked(x, scale, bias, w1, b1, w2, b2)
     return mlp_block_reference(x, scale, bias, w1, b1, w2, b2, dtype=x.dtype)
 
 
@@ -501,14 +562,40 @@ def _fused_partial_bwd(res, do):
 _fused_partial.defvjp(_fused_partial_fwd, _fused_partial_bwd)
 
 
+@jax.custom_vjp
+def _fused_partial_fwdonly(x, scale, bias, w1, b1, w2):
+    return _fused_partial_fwd_call(x, scale, bias, w1, b1, w2)
+
+
+def _fused_partial_fwdonly_fwd(x, scale, bias, w1, b1, w2):
+    out = _fused_partial_fwd_call(x, scale, bias, w1, b1, w2)
+    return out, (x, scale, bias, w1, b1, w2)
+
+
+def _fused_partial_fwdonly_bwd(res, do):
+    x = res[0]
+    _, vjp = jax.vjp(
+        lambda *a: mlp_partial_reference(*a, dtype=x.dtype), *res
+    )
+    return vjp(do)
+
+
+_fused_partial_fwdonly.defvjp(_fused_partial_fwdonly_fwd,
+                              _fused_partial_fwdonly_bwd)
+
+
 def fused_mlp_partial(x, scale, bias, w1, b1, w2):
     """Partial TP half-block over (T, D) rows: fp32 pre-psum product.
 
-    Same dispatch policy as :func:`fused_mlp_block`; differentiable on both
-    paths. The caller owns ``psum`` + output bias + residual.
+    Same dispatch policy as :func:`fused_mlp_block` (minus the F-chunked
+    tier: TP already shards the hidden axis, so the local F is F/tp and
+    the plain forward kernel fits through DiT-L at tp>=2); differentiable
+    on every path. The caller owns ``psum`` + output bias + residual.
     """
     T, D = x.shape
     F = w1.shape[1]
-    if not _mlp_kernel_ok(T, D, F):
-        return mlp_partial_reference(x, scale, bias, w1, b1, w2, dtype=x.dtype)
-    return _fused_partial(x, scale, bias, w1, b1, w2)
+    if _mlp_kernel_ok(T, D, F):
+        return _fused_partial(x, scale, bias, w1, b1, w2)
+    if _mlp_fwd_kernel_ok(T, D, F):
+        return _fused_partial_fwdonly(x, scale, bias, w1, b1, w2)
+    return mlp_partial_reference(x, scale, bias, w1, b1, w2, dtype=x.dtype)

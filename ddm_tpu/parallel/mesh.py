@@ -17,6 +17,7 @@ Axis convention (framework-wide):
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -76,17 +77,30 @@ def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+@functools.lru_cache(maxsize=None)
+def _replicate_fn(out_sh: NamedSharding):
+    """One jitted identity per replicated out-sharding.
+
+    jax.jit caches by function identity, so building a fresh
+    ``jit(lambda x: x)`` per leaf per call would retrace/recompile one
+    program for every leaf on every ``evaluate()``; caching on the
+    (hashable) NamedSharding makes repeated evals hit the jit cache —
+    one compile per (mesh, shape-family) for the whole session.
+    """
+    return jax.jit(lambda x: x, out_shardings=out_sh)
+
+
 def replicate_tree(tree):
     """All-gather every sharded leaf of ``tree`` to a fully-replicated array.
 
     Used before host-local sampling when params are tensor-parallel-sharded
     (Megatron layout): each leaf that is not already fully replicated is
-    passed through a jitted identity with a replicated ``out_sharding`` on
-    its own mesh, which lowers to one XLA all-gather over ICI. Leaves that
-    are already replicated (or are not ``jax.Array``/``NamedSharding``)
-    pass through untouched. Collective: every process of the mesh must call
-    this at the same point (it is a global program), exactly like the train
-    step itself.
+    passed through a cached jitted identity with a replicated
+    ``out_sharding`` on its own mesh, which lowers to one XLA all-gather
+    over ICI. Leaves that are already replicated (or are not
+    ``jax.Array``/``NamedSharding``) pass through untouched. Collective:
+    every process of the mesh must call this at the same point (it is a
+    global program), exactly like the train step itself.
     """
 
     def rep(a):
@@ -95,8 +109,7 @@ def replicate_tree(tree):
         sh = getattr(a, "sharding", None)
         if not isinstance(sh, NamedSharding) or sh.is_fully_replicated:
             return a
-        out_sh = NamedSharding(sh.mesh, P())
-        return jax.jit(lambda x: x, out_shardings=out_sh)(a)
+        return _replicate_fn(NamedSharding(sh.mesh, P()))(a)
 
     return jax.tree.map(rep, tree)
 

@@ -59,14 +59,37 @@ class TestAttentionGating:
         monkeypatch.setenv("DDM_TPU_ATTN_BWD_BI", "0")
         assert A._bwd_block_images(BM, N_S, D_S, 4, 6) == 8
 
-    def test_fwd_cap_below_pack_disables_kernel(self, monkeypatch):
-        """N=16 at DiT-B width: the D>512 VMEM cap (bi=4) is below the
-        pack size (g=8), so the half-block kernel must be rejected — its
-        pack loop would cover zero images — and the XLA fallback must
-        produce correct values (regression for a pre-fix silent-garbage
-        path)."""
+    def test_dit_l_pack_shrinks_to_2(self):
+        """DiT-L (D=1024, H=16): the 8 MB weight residents leave room for
+        only bi=2 images — below _choose_blocks' g=4 pack, which is what
+        gated the half-block kernels OFF in r2 (44.5% MFU mixed stack).
+        _attn_pack must shrink the pack to g=2 (P=128 = one MXU tile) and
+        select the split backward at bi=2."""
+        D_L, H_L = 1024, 16
+        assert A._choose_blocks(BM, N_S, D_L)[1] == 4
+        assert A._fwd_block_images(BM, N_S, D_L, 4) == 0  # g=4 cannot fit
+        g = A._attn_pack(BM, N_S, D_L, H_L)
+        assert g == 2
+        assert A._fwd_block_images(BM, N_S, D_L, g) == 2
+        assert A._bwd_block_images(BM, N_S, D_L, g, H_L) == 0  # fully-fused off
+        assert A._bwd_split_block_images(BM, N_S, D_L, g, H_L) == 2
+
+    def test_dit_s_b_packs_unchanged_by_shrink_logic(self):
+        """The pack-shrink fallback must not perturb the measured DiT-S/B
+        dispatch (g=4 from _choose_blocks already fits there)."""
+        assert A._attn_pack(BM, N_S, D_S, 6) == 4
+        assert A._attn_pack(BM, N_S, D_B, 12) == 4
+        assert A._attn_pack(BM, 256, D_S, 6) == 1  # image-size 64: no packing
+
+    def test_fwd_cap_below_pack_shrinks_pack(self, monkeypatch):
+        """N=16 at DiT-B width: the D>512 VMEM cap (bi=4) is below
+        _choose_blocks' pack (g=8). Pre-r3 this rejected the kernel
+        outright (after r1 fixed a silent-garbage path that invoked it
+        with bi=0); _attn_pack now shrinks the pack to g=4 instead, and
+        the kernel output must still match the oracle."""
         assert A._choose_blocks(2048, 16, 768)[1] == 8
         assert A._fwd_block_images(2048, 16, 768, 8) == 0
+        assert A._attn_pack(2048, 16, 768, 12) == 4
 
         monkeypatch.setenv("DDM_TPU_PALLAS_INTERPRET", "1")
         rng = np.random.default_rng(7)
@@ -115,6 +138,19 @@ class TestMlpGating:
         assert M._mlp_kernel_ok(T_ROWS, D_S, F_S)
         assert not M._mlp_kernel_ok(T_ROWS, D_B, F_B)
         assert M._mlp_fwd_kernel_ok(T_ROWS, D_B, F_B)
+
+    def test_dit_l_forward_chunks_hidden_axis(self, monkeypatch):
+        """DiT-L (D=1024, F=4096): 4*D*F = 16.8 MB kills even the
+        weights-only forward kernel; the F-chunked forward must pick
+        k=2 (two 8.4 MB passes) so the fused stack stays on (r2 left
+        this width entirely to XLA)."""
+        monkeypatch.setenv("DDM_TPU_PALLAS_INTERPRET", "1")
+        D_L, F_L = 1024, 4096
+        assert not M._mlp_fwd_kernel_ok(T_ROWS, D_L, F_L)
+        assert M._mlp_fwd_fchunks(T_ROWS, D_L, F_L) == 2
+        # DiT-S/B stay on their unchunked tiers
+        assert M._mlp_fwd_fchunks(T_ROWS, D_S, F_S) == 1
+        assert M._mlp_fwd_fchunks(T_ROWS, D_B, F_B) == 1
 
 
 class TestEnergyGating:
@@ -225,6 +261,66 @@ class TestProductionShapeInterpret:
         for a, b in zip(g1, g2):
             sc = float(jnp.abs(b).max()) + 1e-9
             assert float(jnp.abs(a - b).max()) / sc < 1e-4
+
+    def test_attention_dit_l_small_pack_slice(self, monkeypatch):
+        """One grid step of the DiT-L half-block through the g=2 small-
+        pack + split-backward path (D=1024, H=16): fwd + all seven grads
+        vs oracle."""
+        monkeypatch.setenv("DDM_TPU_PALLAS_INTERPRET", "1")
+        rng = np.random.default_rng(5)
+        B, N, D, H = 4, N_S, 1024, 16
+        assert A._attn_pack(B, N, D, H) == 2
+        x = jnp.asarray(rng.normal(size=(B, N, D)).astype(np.float32))
+        sp = jnp.asarray(1 + 0.1 * rng.normal(size=(D,)).astype(np.float32))
+        bp = jnp.asarray(0.1 * rng.normal(size=(D,)).astype(np.float32))
+        wqkv = jnp.asarray(
+            (rng.normal(size=(D, 3 * D)) / np.sqrt(D)).astype(np.float32))
+        bqkv = jnp.asarray(0.1 * rng.normal(size=(3 * D,)).astype(np.float32))
+        wproj = jnp.asarray(
+            (rng.normal(size=(D, D)) / np.sqrt(D)).astype(np.float32))
+        bproj = jnp.asarray(0.1 * rng.normal(size=(D,)).astype(np.float32))
+        args = (x, sp, bp, wqkv, bqkv, wproj, bproj)
+
+        out = A._fused_block_sb(*args, H)
+        ref = A.attention_block_reference(*args, H)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+        g1 = jax.grad(lambda *a: (A._fused_block_sb(*a, H) ** 2).sum(),
+                      argnums=tuple(range(7)))(*args)
+        g2 = jax.grad(lambda *a: (A.attention_block_reference(*a, H) ** 2).sum(),
+                      argnums=tuple(range(7)))(*args)
+        for a, b in zip(g1, g2):
+            sc = float(jnp.abs(b).max()) + 1e-9
+            assert float(jnp.abs(a - b).max()) / sc < 1e-4
+
+    def test_mlp_fchunked_dit_l_rows(self, monkeypatch):
+        """DiT-L MLP rows through the F-chunked forward (k=2) + XLA
+        backward path: values and grads vs the jnp reference."""
+        monkeypatch.setenv("DDM_TPU_PALLAS_INTERPRET", "1")
+        rng = np.random.default_rng(6)
+        T, D, F = 64, 1024, 4096
+        x = jnp.asarray(rng.normal(size=(T, D)).astype(np.float32))
+        s = jnp.asarray(1 + 0.1 * rng.normal(size=(D,)).astype(np.float32))
+        b = jnp.asarray(0.1 * rng.normal(size=(D,)).astype(np.float32))
+        w1 = jnp.asarray((rng.normal(size=(D, F)) / np.sqrt(D)).astype(np.float32))
+        b1 = jnp.asarray(0.1 * rng.normal(size=(F,)).astype(np.float32))
+        w2 = jnp.asarray((rng.normal(size=(F, D)) / np.sqrt(F)).astype(np.float32))
+        b2 = jnp.asarray(0.1 * rng.normal(size=(D,)).astype(np.float32))
+        args = (x, s, b, w1, b1, w2, b2)
+
+        out = M._fused_fwdonly_fchunked(*args)
+        ref = M.mlp_block_reference(*args, dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=2e-4)
+        g1 = jax.grad(lambda *a: (M._fused_fwdonly_fchunked(*a) ** 2).sum(),
+                      argnums=(0, 3, 5))(*args)
+        g2 = jax.grad(
+            lambda *a: (M.mlp_block_reference(*a, dtype=jnp.float32) ** 2).sum(),
+            argnums=(0, 3, 5))(*args)
+        for a, b_ in zip(g1, g2):
+            sc = float(jnp.abs(b_).max()) + 1e-9
+            assert float(jnp.abs(a - b_).max()) / sc < 1e-4
 
     def test_mlp_fwdonly_dit_b_rows(self, monkeypatch):
         """DiT-B MLP rows through the forward-kernel/XLA-backward path."""

@@ -47,6 +47,33 @@ def test_rbf_mmd2_unbiasedness(rng):
     assert abs(np.mean(vals)) < 5e-3
 
 
+def test_rbf_mmd2_chunked_path_matches_direct(rng):
+    """The streaming row-chunked kernel sums (used above
+    _MMD_CHUNK_THRESHOLD rows, e.g. the 10k-sample pixel-MMD protocol)
+    agree with the materialise-the-kernel path on identical inputs —
+    including the off-diagonal masking of kxx/kyy and uneven n != m."""
+    from ddm_tpu.metrics import _mmd2_terms, _mmd2_terms_chunked
+
+    x = jnp.asarray(rng.normal(size=(96, 7)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(60, 7)).astype(np.float32) + 0.3)
+    for sigma in (0.7, 1.0):
+        direct = _mmd2_terms(x, y, sigma)
+        chunked = _mmd2_terms_chunked(x, y, sigma)
+        for d, c in zip(direct, chunked):
+            np.testing.assert_allclose(float(d), float(c), rtol=1e-5,
+                                       atol=1e-7)
+
+
+def test_rbf_mmd2_chunk_rows_divisor():
+    from ddm_tpu.metrics import _chunk_rows
+
+    assert _chunk_rows(10000) == 1000
+    assert _chunk_rows(4096) == 1024
+    assert _chunk_rows(7, target=4) == 1  # prime: falls back to 1
+    for n in (96, 60, 50000):
+        assert n % _chunk_rows(n) == 0
+
+
 def test_rbf_mmd2_requires_two_samples():
     with pytest.raises(ValueError, match="at least two"):
         rbf_mmd2(jnp.zeros((1, 3)), jnp.zeros((5, 3)))

@@ -83,6 +83,46 @@ def test_generate_wrapper_requires_and_forwards_ckpt(tmp_path):
     assert b"usage" in proc.stderr
 
 
+def test_repro_paper_dry_run_flags(tmp_path):
+    """repro_paper.sh --dry-run must exercise the full pipeline shape —
+    synthetic data + the --dry-eval protocol rehearsal — with no network
+    and tiny counts (the protocol body itself is CI-covered by
+    tests/test_cli.py::test_cifar_cli_dry_eval)."""
+    argv = _run_wrapper(tmp_path, "repro_paper.sh",
+                        ["--dry-run", "--seed", "5"])
+    assert argv[0] == os.path.join(REPO, "train_cifar10_dit.py")
+    assert "--synthetic" in argv and "--dry-eval" in argv
+    assert argv[-2:] == ["--seed", "5"]  # extra flags forwarded
+
+
+def test_repro_paper_real_branch_fetches_then_trains(tmp_path):
+    """Without --dry-run: first invocation fetches the Inception weights,
+    second runs the paper config with the full FID/MMD protocol."""
+    shim_dir = tmp_path / "bin"
+    shim_dir.mkdir()
+    argv_file = tmp_path / "argv.txt"
+    shim = shim_dir / "python"
+    shim.write_text(
+        "#!/usr/bin/env bash\n"
+        f'printf "%s\\n" "$@" >> "{argv_file}"; echo --- >> "{argv_file}"\n'
+    )
+    shim.chmod(shim.stat().st_mode | stat.S_IEXEC)
+    env = dict(os.environ, PATH=f"{shim_dir}:{os.environ['PATH']}")
+    subprocess.run(
+        [os.path.join(REPO, "scripts", "repro_paper.sh"), "--epochs", "2"],
+        check=True, env=env, cwd=str(tmp_path), timeout=30,
+    )
+    calls = [c.strip().splitlines() for c in
+             argv_file.read_text().split("---") if c.strip()]
+    assert len(calls) == 2
+    assert calls[0][0] == os.path.join(REPO, "scripts",
+                                       "fetch_inception_weights.py")
+    assert calls[1][0] == os.path.join(REPO, "train_cifar10_dit.py")
+    assert calls[1][1:3] == ["--config",
+                             os.path.join(REPO, "configs/cifar10_dit.yaml")]
+    assert calls[1][-2:] == ["--epochs", "2"]
+
+
 def test_rewritten_wrappers_are_not_reference_copies():
     """VERDICT r2: the two parity wrappers must not be byte-identical to
     the reference scripts."""

@@ -1,0 +1,120 @@
+"""Worker for the REAL 2-process smoke test (``test_two_process.py``).
+
+Each instance is a separate OS process = a separate JAX process, exactly
+like one host of a pod slice (SURVEY §5.8). The worker initialises
+``jax.distributed``, then exercises every multi-process code path the
+framework ships — loader process-slicing, global-batch assembly, a
+DP train step with gradient allreduce, and the ``process_allgather``
+eval reduction — and writes its observations to a JSON file the parent
+test asserts on (including cross-process agreement and equality with a
+single-process oracle).
+
+Run directly:  python tests/two_process_worker.py <pid> <port> <out.json>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    pid, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+
+    import jax
+
+    # Force CPU BEFORE the first device query (the axon sitecustomize
+    # re-pins the TPU platform; JAX_PLATFORMS env alone is ignored here).
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=2,
+        process_id=pid,
+    )
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    import ddm_tpu.metrics as metrics
+    from ddm_tpu.data.cifar10 import ArrayLoader, CIFAR10Arrays
+    from ddm_tpu.parallel import make_mesh, shard_batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    result = {
+        "pid": pid,
+        "process_count": jax.process_count(),
+        "process_index": jax.process_index(),
+        "global_devices": jax.device_count(),
+        "local_devices": jax.local_device_count(),
+    }
+
+    # --- loader process slicing: each process sees its own half of every
+    # global batch, in the deterministic (unshuffled) global order ---
+    n, global_batch = 16, 8
+    data = CIFAR10Arrays(
+        images=np.arange(n * 4, dtype=np.float32).reshape(n, 2, 2, 1),
+        labels=np.zeros((n,), np.int64),
+    )
+    loader = ArrayLoader(
+        data, batch_size=global_batch, shuffle=False, drop_last=True,
+        normalize=False,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    local_batches = [imgs for imgs, _ in loader]
+    result["local_rows"] = [b.shape[0] for b in local_batches]
+    result["first_batch_sum"] = float(np.sum(local_batches[0]))
+
+    # --- global-batch assembly + DP allreduce: sum over the GLOBAL batch
+    # must come out identical on every process ---
+    mesh = make_mesh(tp=1)
+    arr = shard_batch(local_batches[0], mesh)
+    result["global_shape"] = list(arr.shape)
+    total = jax.jit(lambda x: jnp.sum(x),
+                    out_shardings=NamedSharding(mesh, P()))(arr)
+    result["global_batch_sum"] = float(total)
+
+    # --- one DP "train step": grad of a scalar loss over the sharded
+    # global batch; XLA inserts the gradient allreduce. The updated
+    # parameter must be bit-identical across processes and equal to the
+    # single-process oracle the parent computes ---
+    w = jax.device_put(jnp.float32(2.0), NamedSharding(mesh, P()))
+
+    def loss(w, x):
+        return jnp.mean((w * x - 1.0) ** 2)
+
+    g = jax.jit(jax.grad(loss), out_shardings=NamedSharding(mesh, P()))(w, arr)
+    result["grad"] = float(g)
+    result["updated_w"] = float(w - 0.1 * g)
+
+    # --- process_allgather eval reduction: multihost activation stats
+    # must be identical on every process and equal to single-process
+    # stats over the union of the per-process loaders ---
+    feat_data = CIFAR10Arrays(
+        images=np.arange(32, dtype=np.float32).reshape(8, 2, 2, 1) / 31.0,
+        labels=np.zeros((8,), np.int64),
+    )
+    feat_loader = ArrayLoader(
+        feat_data, batch_size=4, shuffle=False, drop_last=True,
+        normalize=False,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+
+    def embedder(images):
+        flat = images.reshape(images.shape[0], -1)
+        return jnp.concatenate([flat, flat**2], axis=-1)
+
+    mu, sigma = metrics.compute_activation_statistics(
+        feat_loader, embedder, max_items=8, multihost=True,
+    )
+    result["stats_mu"] = np.asarray(mu).tolist()
+    result["stats_sigma_trace"] = float(jnp.trace(sigma))
+
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(result, f)
+
+
+if __name__ == "__main__":
+    main()
