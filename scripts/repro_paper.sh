@@ -38,8 +38,9 @@ if [[ $dry == 1 ]]; then
 fi
 
 # 1) FID weights (torchvision Inception-v3 IMAGENET1K_V1) into the
-#    embedder's default search path. Idempotent.
-python "$root/scripts/fetch_inception_weights.py"
+#    embedder's default search path, then verify the converted checkpoint
+#    end-to-end against the torch oracle on a known image. Idempotent.
+python "$root/scripts/fetch_inception_weights.py" --selftest
 
 # 2) CIFAR-10 download happens inside the loader on first use (data.py
 #    downloads when the files are absent), so training + the paper eval

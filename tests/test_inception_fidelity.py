@@ -131,6 +131,31 @@ def test_embedding_loads_real_torch_checkpoint(tmp_path):
 
 
 @pytest.mark.skipif(torch is None, reason="torch not installed")
+def test_fetch_script_selftest_logic(tmp_path):
+    """The --selftest anchor in scripts/fetch_inception_weights.py (live
+    torch-oracle vs converted-JAX pool3 on a known image) must PASS when
+    fed a correct state_dict — so the first networked run exercises a
+    pre-verified code path and any failure it reports is about the real
+    weights, not script wiring."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "fetch_inception_weights",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "fetch_inception_weights.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in make_state_dict(load_key_shapes(),
+                                      seed=int(GOLDENS["seed"])).items()}
+    path = str(tmp_path / "inception_v3.pth")
+    torch.save(sd, path)
+    mod._selftest(sd, path)  # raises SystemExit on disagreement
+
+
+@pytest.mark.skipif(torch is None, reason="torch not installed")
 def test_oracle_state_dict_keys_match_fixture():
     """Guard against fixture drift: the committed key->shape map IS the
     torch oracle's state_dict schema."""
