@@ -347,6 +347,12 @@ def _mlp_kernel_ok(T: int, D: int, F: int) -> bool:
         and D % 128 == 0
         and F % 128 == 0
         and T % rb == 0
+        # rb < 64 means the 12*D*F residents squeezed the row block down
+        # to near-nothing (e.g. TP local F at DiT-B width): an 8-row
+        # matmul uses 1/16 of the MXU's sublanes and the grid degenerates
+        # to T/8 sequential steps — the fwd-only tier (weights-only
+        # residents, big row blocks) is strictly better there.
+        and rb >= 64
         and 12 * D * F + rb * (D * 8 + F * 8) < 15 * 1024 * 1024
     )
 

@@ -322,6 +322,38 @@ class TestProductionShapeInterpret:
             sc = float(jnp.abs(b_).max()) + 1e-9
             assert float(jnp.abs(a - b_).max()) / sc < 1e-4
 
+    def test_mlp_partial_fwdonly_tp_dit_b(self, monkeypatch):
+        """TP at DiT-B width (local F = F/tp = 1536 at D=768): the in-VMEM
+        partial backward gates off (12*D*F = 14.2 MB) but the fwd-only
+        partial tier must stay on, with values/grads matching the jnp
+        partial reference."""
+        monkeypatch.setenv("DDM_TPU_PALLAS_INTERPRET", "1")
+        assert not M._mlp_kernel_ok(T_ROWS, D_B, F_B // 2)
+        assert M._mlp_fwd_kernel_ok(T_ROWS, D_B, F_B // 2)
+
+        rng = np.random.default_rng(8)
+        T, D, F = 64, D_B, F_B // 2
+        x = jnp.asarray(rng.normal(size=(T, D)).astype(np.float32))
+        s = jnp.asarray(1 + 0.1 * rng.normal(size=(D,)).astype(np.float32))
+        b = jnp.asarray(0.1 * rng.normal(size=(D,)).astype(np.float32))
+        w1 = jnp.asarray((rng.normal(size=(D, F)) / np.sqrt(D)).astype(np.float32))
+        b1 = jnp.asarray(0.1 * rng.normal(size=(F,)).astype(np.float32))
+        w2 = jnp.asarray((rng.normal(size=(F, D)) / np.sqrt(F)).astype(np.float32))
+        args = (x, s, b, w1, b1, w2)
+
+        out = M._fused_partial_fwdonly(*args)
+        ref = M.mlp_partial_reference(*args, dtype=jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=2e-4)
+        g1 = jax.grad(lambda *a: (M._fused_partial_fwdonly(*a) ** 2).sum(),
+                      argnums=(0, 3, 5))(*args)
+        g2 = jax.grad(
+            lambda *a: (M.mlp_partial_reference(*a, dtype=jnp.float32) ** 2).sum(),
+            argnums=(0, 3, 5))(*args)
+        for a, b_ in zip(g1, g2):
+            sc = float(jnp.abs(b_).max()) + 1e-9
+            assert float(jnp.abs(a - b_).max()) / sc < 1e-4
+
     def test_mlp_fwdonly_dit_b_rows(self, monkeypatch):
         """DiT-B MLP rows through the forward-kernel/XLA-backward path."""
         monkeypatch.setenv("DDM_TPU_PALLAS_INTERPRET", "1")
