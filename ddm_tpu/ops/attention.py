@@ -677,7 +677,8 @@ _fused_block.defvjp(_fused_block_fwd, _fused_block_bwd)
 
 def _blk_bwd_split_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
                           mask_ref, do_ref,
-                          dx_ref, ds_ref, db_ref, dqkv_ref, y_ref, att_ref,
+                          dx_ref, ds_ref, db_ref, dbqkv_ref, dbproj_ref,
+                          dqkv_ref, y_ref, att_ref,
                           qkv_scr, scores_scr, *, H: int, g: int,
                           scale: float):
     """Split backward with persist-probs (r2): scores for every
@@ -685,11 +686,18 @@ def _blk_bwd_split_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     and softmaxed in one pass, then reused for the attention output, dv
     and dS — no QK^T/softmax recompute. Unlike the fully-fused backward
     this keeps only ONE stack (dP stays a per-head temporary) because the
-    bf16 weight residents at DiT-B widths leave less VMEM headroom."""
+    bf16 weight residents at DiT-B widths leave less VMEM headroom.
+
+    r3: the bias gradients accumulate IN-KERNEL into tiny (1, 3D)/(1, D)
+    fp32 residents — the dqkv/do rows are already in VMEM, whereas the
+    old XLA ``jnp.sum`` over the persisted tensors re-read ~0.8 GB/block
+    from HBM just to reduce it."""
     @pl.when(pl.program_id(0) == 0)
     def _init():
         ds_ref[:] = jnp.zeros_like(ds_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dbproj_ref[:] = jnp.zeros_like(dbproj_ref)
 
     bi, N, D = x_ref.shape
     Dh = D // H
@@ -726,6 +734,7 @@ def _blk_bwd_split_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
     # --- proj backward (dx path only; dWproj happens in XLA) ---
     do = do_ref[:].reshape(R, D).astype(jnp.float32)
     dob = do.astype(dtype)
+    dbproj_ref[:] += jnp.sum(do, axis=0, keepdims=True)
     datt = jax.lax.dot_general(  # dO @ Wproj^T
         dob, wproj_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -770,6 +779,8 @@ def _blk_bwd_split_kernel(x_ref, s_ref, b_ref, wqkv_ref, bqkv_ref, wproj_ref,
             dqkv_ref[rows, cv] = dv.astype(dtype)
 
     # --- qkv backward (dx path; dWqkv happens in XLA over persisted y) ---
+    dbqkv_ref[:] += jnp.sum(dqkv_ref[:].astype(jnp.float32), axis=0,
+                            keepdims=True)
     dy = jax.lax.dot_general(  # dQKV @ Wqkv^T
         dqkv_ref[:], wqkv_ref[:], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -834,6 +845,8 @@ def _fused_block_sb_bwd(H, res, do):
             jax.ShapeDtypeStruct((B, N, D), x.dtype),    # dx
             jax.ShapeDtypeStruct((1, D), jnp.float32),   # dscale
             jax.ShapeDtypeStruct((1, D), jnp.float32),   # dbias
+            jax.ShapeDtypeStruct((1, 3 * D), jnp.float32),  # dbqkv
+            jax.ShapeDtypeStruct((1, D), jnp.float32),   # dbproj
             jax.ShapeDtypeStruct((R, 3 * D), x.dtype),   # dqkv (persisted)
             jax.ShapeDtypeStruct((R, D), x.dtype),       # y (persisted)
             jax.ShapeDtypeStruct((R, D), x.dtype),       # att (persisted)
@@ -842,27 +855,27 @@ def _fused_block_sb_bwd(H, res, do):
         in_specs=[row3, const((1, D)), const((1, D)), const((D, 3 * D)),
                   const((1, 3 * D)), const((D, D)), const((g * N, g * N)),
                   row3],
-        out_specs=(row3, const((1, D)), const((1, D)), rows2(3 * D),
-                   rows2(D), rows2(D)),
+        out_specs=(row3, const((1, D)), const((1, D)), const((1, 3 * D)),
+                   const((1, D)), rows2(3 * D), rows2(D), rows2(D)),
         scratch_shapes=[
             pltpu.VMEM((bi * N, 3 * D), x.dtype),
             pltpu.VMEM(((bi // g) * H * g * N, g * N), jnp.float32),
         ],
     )(x, scale_p.reshape(1, D), bias_p.reshape(1, D), wqkv.astype(x.dtype),
       bqkv.reshape(1, 3 * D), wproj.astype(x.dtype), mask, do)
-    dx, ds, db, dqkv, y, att = outs
+    dx, ds, db, dbqkv, dbproj, dqkv, y, att = outs
 
-    # weight/bias grads: two MXU-native XLA matmuls over the persisted rows
+    # weight grads: two MXU-native XLA matmuls over the persisted rows
+    # (the bias grads accumulated in-kernel — no HBM re-read just to sum)
     do2 = do.reshape(R, D).astype(x.dtype)
     dwqkv = jax.lax.dot_general(
         y, dqkv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0)
     dwproj = jax.lax.dot_general(
         att, do2, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    dbproj = jnp.sum(do.astype(jnp.float32), axis=(0, 1))
-    return (dx, ds.reshape(D), db.reshape(D), dwqkv, dbqkv, dwproj, dbproj)
+    return (dx, ds.reshape(D), db.reshape(D), dwqkv, dbqkv.reshape(3 * D),
+            dwproj, dbproj.reshape(D))
 
 
 _fused_block_sb.defvjp(_fused_block_sb_fwd, _fused_block_sb_bwd)
