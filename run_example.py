@@ -7,8 +7,9 @@ with ``mmd2_rbf_sigma1`` plus the full per-step training history) and the
 final print are parity contracts. Everything else is JAX-shaped: explicit
 PRNG keys, a TrainState instead of a mutable module, a jitted
 ``lax.scan`` sampler, and a sampling-throughput block in the metrics
-payload. The ``--device`` flag is recorded for parity but placement is
-decided by the JAX runtime (TPU when present).
+payload. ``--device cpu`` forces the CPU backend (useful for CI and
+air-gapped smoke runs); any other value leaves placement to the JAX
+runtime (TPU when present).
 """
 
 import argparse
@@ -89,6 +90,10 @@ def main(argv=None) -> None:
     parser = _build_parser()
     args = parser.parse_args(argv)
     apply_config(parser, args)  # YAML fills only still-default values
+    if args.device == "cpu":
+        # force the CPU backend before the first device query (see the
+        # same handling in train_cifar10_dit.main)
+        jax.config.update("jax_platforms", "cpu")
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
     import ddm_tpu

@@ -123,6 +123,30 @@ def test_repro_paper_real_branch_fetches_then_trains(tmp_path):
     assert calls[1][-2:] == ["--epochs", "2"]
 
 
+def test_repro_paper_dry_run_executes_end_to_end(tmp_path):
+    """Actually run ``repro_paper.sh --dry-run`` (no shim): synthetic data
+    + the --dry-eval FID/MMD rehearsal through the real entry point, on
+    the CPU backend via --device cpu. Pins that the one-command repro's
+    CI path works as a process, not just as argv wiring."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["OUT"] = str(tmp_path / "out")
+    proc = subprocess.run(
+        [os.path.join(REPO, "scripts", "repro_paper.sh"), "--dry-run",
+         "--device", "cpu", "--depth", "1", "--time-embed", "16",
+         "--m", "2", "--sample-steps", "2", "--eval-samples", "8",
+         "--eval-batch", "8", "--mmd-samples", "8", "--fid-samples", "8",
+         "--dtype", "float32"],
+        env=env, cwd=str(tmp_path), timeout=900, capture_output=True,
+    )
+    assert proc.returncode == 0, proc.stdout.decode() + proc.stderr.decode()
+    import json
+
+    with open(tmp_path / "out" / "eval_metrics.json") as f:
+        ev = json.load(f)
+    assert set(ev) >= {"epoch", "fid", "mmd"}
+
+
 def test_rewritten_wrappers_are_not_reference_copies():
     """VERDICT r2: the two parity wrappers must not be byte-identical to
     the reference scripts."""

@@ -554,6 +554,15 @@ def main(argv: Optional[list] = None) -> None:
     if args.fast_gelu:
         os.environ["DDM_TPU_FAST_GELU"] = "1"
 
+    if args.device == "cpu":
+        # Honour the flag for real (it was parity-recorded only): force
+        # the CPU backend before the first device query. This works even
+        # under platform-pinning sitecustomizes that ignore JAX_PLATFORMS
+        # (config update beats the pin as long as no device has been
+        # touched yet) — lets CI exercise the shell entry points
+        # end-to-end without a TPU.
+        jax.config.update("jax_platforms", "cpu")
+
     if args.multihost or os.environ.get("JAX_COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
     import ddm_tpu
