@@ -77,7 +77,7 @@ from .training import (
     make_train_step,
     train_dddm,
 )
-from .sampling import sample_dddm, sample_dddm_batched
+from .sampling import sample_dddm, sample_dddm_batched, sample_dddm_sharded
 from .data.gmm import GMM, GMM2D, sample_gmm
 from .data.cifar10 import CIFAR10DataConfig, build_cifar10_dataloaders
 from .metrics import (
@@ -106,6 +106,7 @@ __all__ = [
     "make_train_step",
     "sample_dddm",
     "sample_dddm_batched",
+    "sample_dddm_sharded",
     "sample_gmm",
     "CIFAR10DataConfig",
     "build_cifar10_dataloaders",

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from .ops.schedules import gaussian_bridge_mu_sigma
 
-__all__ = ["sample_dddm", "sample_dddm_batched"]
+__all__ = ["sample_dddm", "sample_dddm_batched", "sample_dddm_sharded"]
 
 ApplyFn = Callable[..., jnp.ndarray]
 
@@ -90,6 +90,62 @@ def sample_dddm(
     ks = jnp.arange(steps - 1, -1, -1)
     (x, _), _ = jax.lax.scan(body, (x0_init, key), ks)
     return x
+
+
+def sample_dddm_sharded(
+    apply_fn: ApplyFn,
+    params: Any,
+    key: jax.Array,
+    n_samples: int,
+    *,
+    mesh,
+    steps: int = 20,
+    eps_churn: float = 1.0,
+    data_shape: Optional[Tuple[int, ...]] = None,
+    dtype: jnp.dtype = jnp.float32,
+) -> jnp.ndarray:
+    """Data-parallel Algorithm-2 sampling over a device mesh (serving path).
+
+    Samples are i.i.d., so batch inference scales embarrassingly: each
+    device of the mesh's ``data`` axis runs the full ``lax.scan`` sampler
+    on its own ``n_samples / dp`` shard with an independent fold of
+    ``key`` — zero collectives during sampling, samples ride out sharded
+    over the data axis. Params are broadcast (replicated spec); use the
+    single-device :func:`sample_dddm` under a TP ``shard_map`` if params
+    are tensor-parallel-sharded (or gather them with
+    ``parallel.replicate_tree`` first, as ``train_cifar10_dit`` does).
+
+    ``n_samples`` must divide evenly over the data axis.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    if data_shape is None:
+        data_shape = (2,)
+    axis = mesh.axis_names[0]
+    dp = mesh.shape[axis]
+    if n_samples % dp != 0:
+        raise ValueError(
+            f"n_samples={n_samples} must divide the '{axis}' axis ({dp})"
+        )
+    keys = jax.random.split(key, dp)
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def body(p, ks):
+        return sample_dddm(
+            apply_fn, p, ks[0], n_samples=n_samples // dp, steps=steps,
+            eps_churn=eps_churn, data_shape=tuple(data_shape), dtype=dtype,
+        )
+
+    return body(params, keys)
 
 
 def sample_dddm_batched(

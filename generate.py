@@ -74,6 +74,11 @@ def main(argv: Optional[list] = None) -> None:
                    help="sigmoid-GELU approximation (DDM_TPU_FAST_GELU=1): "
                         "+17%% sampler throughput at a documented numerics "
                         "deviation from the checkpoint's training activation")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel sampling degree over the device mesh "
+                        "(0 = all visible devices; 1 = single-device). "
+                        "Samples are i.i.d. so batch inference scales with "
+                        "zero collectives — the serving path for pods")
     args = p.parse_args(argv)
     if args.fast_gelu:
         os.environ["DDM_TPU_FAST_GELU"] = "1"
@@ -98,11 +103,36 @@ def main(argv: Optional[list] = None) -> None:
 
     if args.n < 1:
         raise SystemExit("--n must be positive")
-    samples = sample_dddm_batched(
-        model.apply, params, jax.random.PRNGKey(args.seed), args.n,
-        steps=steps, eps_churn=churn, data_shape=(size, size, 3),
-        chunk_size=min(args.batch, args.n),
-    )
+    dp = args.dp if args.dp > 0 else jax.local_device_count()
+    if dp > 1:
+        # Serving path: shard each chunk's i.i.d. draws over the data mesh
+        # (zero collectives; params broadcast once). Chunks are padded up
+        # to a multiple of dp and trimmed, mirroring sample_dddm_batched's
+        # one-compile contract.
+        from ddm_tpu.parallel import make_mesh
+        from ddm_tpu.sampling import sample_dddm_sharded
+
+        mesh = make_mesh(dp=dp, tp=1, devices=jax.local_devices()[:dp])
+        chunk = min(args.batch, args.n)
+        chunk = -(-chunk // dp) * dp
+        key = jax.random.PRNGKey(args.seed)
+        parts, produced = [], 0
+        while produced < args.n:
+            key, sub = jax.random.split(key)
+            x = sample_dddm_sharded(
+                model.apply, params, sub, chunk, mesh=mesh, steps=steps,
+                eps_churn=churn, data_shape=(size, size, 3),
+            )
+            take = min(chunk, args.n - produced)
+            parts.append(np.asarray(jax.device_get(x))[:take])
+            produced += take
+        samples = np.concatenate(parts, axis=0)
+    else:
+        samples = sample_dddm_batched(
+            model.apply, params, jax.random.PRNGKey(args.seed), args.n,
+            steps=steps, eps_churn=churn, data_shape=(size, size, 3),
+            chunk_size=min(args.batch, args.n),
+        )
     samples = np.clip(np.asarray(samples), -1.0, 1.0)
 
     if args.out:

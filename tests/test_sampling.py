@@ -74,3 +74,41 @@ def test_batched_sampler_consistency(key):
     x = sample_dddm_batched(model.apply, params, key, 10, steps=3, chunk_size=4)
     assert x.shape == (10, 2)
     assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_sharded_sampler_matches_per_device_draws(key):
+    """DP-sharded sampling (the serving path) equals concatenating each
+    device's independent local draw with the same per-device key fold —
+    i.e. sharding adds parallelism, not different samples."""
+    from ddm_tpu.parallel import make_mesh
+    from ddm_tpu.sampling import sample_dddm_sharded
+
+    model, params = _mlp()
+    mesh = make_mesh(tp=1)  # 8 virtual devices (conftest)
+    dp = mesh.shape["data"]
+    n = 4 * dp
+
+    got = sample_dddm_sharded(
+        model.apply, params, key, n, mesh=mesh, steps=3, eps_churn=0.5)
+    keys = jax.random.split(key, dp)
+    want = jnp.concatenate([
+        sample_dddm(model.apply, params, keys[i], n_samples=n // dp,
+                    steps=3, eps_churn=0.5)
+        for i in range(dp)
+    ])
+    assert got.shape == (n, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_sampler_rejects_ragged_n(key):
+    from ddm_tpu.parallel import make_mesh
+    from ddm_tpu.sampling import sample_dddm_sharded
+
+    model, params = _mlp()
+    mesh = make_mesh(tp=1)
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        sample_dddm_sharded(model.apply, params, key,
+                            mesh.shape["data"] + 1, mesh=mesh, steps=2)
