@@ -252,6 +252,12 @@ def main() -> None:
                    help="checkpoint each block (NOT needed for DiT-B at batch "
                         "256 since the split backward: no-remat measures 394 "
                         "vs 352 img/s/chip; keep for larger widths/batches)")
+    p.add_argument("--mlp-persist", type=int, default=0,
+                   help="hybrid persist-residuals MLP backward: the first N "
+                        "blocks save their MLP residuals (no forward "
+                        "recompute in the backward) at ~2.6 GB HBM per "
+                        "DiT-B block; only meaningful at widths where the "
+                        "in-VMEM backward kernel gates off (DiT-B+)")
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "sample", "eval"],
                    help="train: images/sec/chip of the training step; "
@@ -291,6 +297,7 @@ def main() -> None:
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         data_format="NHWC", attention_impl=args.attention,
         fused_mlp=args.tp == 1, remat=args.remat,
+        mlp_persist_blocks=args.mlp_persist,
     )
     key = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)

@@ -246,6 +246,11 @@ class DiTBlock(nn.Module):
     fused_mlp: bool = True
     tp: int = 1
     tp_axis: Optional[str] = None
+    # Hybrid persist-residuals MLP backward (ROOFLINE §4): let XLA save
+    # this block's MLP residuals instead of recomputing the forward in the
+    # backward. Only meaningful on widths where the in-VMEM backward kernel
+    # does not fit (DiT-B+); costs ~2.6 GB HBM per DiT-B block.
+    mlp_persist: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -278,7 +283,8 @@ class DiTBlock(nn.Module):
             w1, bb1 = _DenseParams(self.dim, hidden, name="ff_in")()
             w2, bb2 = _DenseParams(hidden, self.dim, name="ff_out")()
             out = fused_mlp_block(
-                x.astype(self.dtype).reshape(B * N, D), s2, b2, w1, bb1, w2, bb2
+                x.astype(self.dtype).reshape(B * N, D), s2, b2, w1, bb1, w2,
+                bb2, persist=self.mlp_persist,
             )
             return out.reshape(B, N, D)
 
@@ -366,6 +372,14 @@ class DDDMDiT(nn.Module):
     fused_mlp: bool = True
     remat: bool = False  # checkpoint each block: trade FLOPs for HBM
                          # (needed for DiT-B+ widths at the paper's B*m=2048)
+    # Hybrid persist-residuals MLP backward (ROOFLINE §4): the FIRST
+    # ``mlp_persist_blocks`` blocks run their MLP half-block as plain XLA
+    # with autodiff-saved residuals (no forward recompute in the backward,
+    # a measured 2.6 ms/block at DiT-B) at ~2.6 GB HBM per persisted
+    # block; the rest keep the kernel-forward + recompute backward.
+    # 0 = all recompute (memory-safe default). Incompatible with remat
+    # (remat discards the residuals, paying both costs).
+    mlp_persist_blocks: int = 0
     # Tensor parallelism (Megatron layout; see _TPAttention). tp > 1 selects
     # separate column-parallel q/k/v projections; tp_axis names the mesh
     # axis when running inside shard_map on local weight shards, None keeps
@@ -398,6 +412,12 @@ class DDDMDiT(nn.Module):
             nn.Dense(self.embed_dim, dtype=self.dtype, name="time_mlp_0"),
             nn.Dense(self.embed_dim, dtype=self.dtype, name="time_mlp_1"),
         ]
+        if self.remat and self.mlp_persist_blocks:
+            raise ValueError(
+                "mlp_persist_blocks is incompatible with remat: the block "
+                "checkpoint discards the persisted residuals, paying both "
+                "the HBM and the recompute cost"
+            )
         block_cls = nn.remat(DiTBlock) if self.remat else DiTBlock
         self.blocks = [
             block_cls(
@@ -409,6 +429,7 @@ class DDDMDiT(nn.Module):
                 fused_mlp=self.fused_mlp,
                 tp=self.tp,
                 tp_axis=self.tp_axis,
+                mlp_persist=i < self.mlp_persist_blocks,
                 name=f"block_{i}",
             )
             for i in range(self.depth)

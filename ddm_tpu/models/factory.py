@@ -39,6 +39,7 @@ MODEL_DEFAULTS: dict = {
     "attention": "auto",
     "remat": False,
     "tp": 1,
+    "mlp_persist": 0,
 }
 
 # Inference-time knobs generate.py needs when a checkpoint's embedded
@@ -91,4 +92,5 @@ def build_model(cfg: Any, tp_axis: Optional[str] = None) -> DDDMDiT:
         remat=bool(get("remat")),
         tp=int(get("tp")),
         tp_axis=tp_axis,
+        mlp_persist_blocks=int(get("mlp_persist")),
     )

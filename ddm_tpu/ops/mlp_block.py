@@ -457,7 +457,7 @@ _fused_fwdonly_fchunked.defvjp(_fused_fwdonly_fchunked_fwd,
                                _fused_fwdonly_fchunked_bwd)
 
 
-def fused_mlp_block(x, scale, bias, w1, b1, w2, b2):
+def fused_mlp_block(x, scale, bias, w1, b1, w2, b2, persist: bool = False):
     """``x + gelu(LN(x) @ w1 + b1) @ w2 + b2`` over (T, D) token rows.
 
     Dispatch: fully-fused kernel (fwd + accumulate-in-VMEM bwd) when the
@@ -465,11 +465,27 @@ def fused_mlp_block(x, scale, bias, w1, b1, w2, b2):
     widths — see the roofline note on ``_fused_fwdonly``); else the
     F-chunked forward + XLA backward (DiT-L widths); else the jnp
     reference. Differentiable on every path.
+
+    ``persist=True`` — the hybrid persist-residuals tier (ROOFLINE §4): on
+    the widths where the in-VMEM backward does NOT fit, skip the
+    kernel-forward + recompute-backward pair and run the plain XLA path,
+    letting autodiff SAVE the backward residuals (y, h) instead of
+    recomputing the half-block forward inside the backward. Audited at the
+    DiT-B production shape: XLA fwd 9.38 ms + saved-residual bwd 13.41 ms
+    = 22.8 ms/block vs the production kernel-fwd + recompute-bwd 25.4 ms —
+    a structural 2.6 ms/block, bought with ~2.6 GB/block of HBM residuals.
+    Callers spend it on only as many blocks as spare HBM allows
+    (``DDDMDiT.mlp_persist_blocks``). A no-op on widths where the in-VMEM
+    backward fits (DiT-S): that kernel recomputes from VMEM, not HBM, and
+    beats both.
     """
     T, D = x.shape
     F = w1.shape[1]
     if _mlp_kernel_ok(T, D, F):
         return _fused(x, scale, bias, w1, b1, w2, b2)
+    if persist:
+        return mlp_block_reference(x, scale, bias, w1, b1, w2, b2,
+                                   dtype=x.dtype)
     if _mlp_fwd_kernel_ok(T, D, F):
         return _fused_fwdonly(x, scale, bias, w1, b1, w2, b2)
     if kernels_enabled() and D % 128 == 0 and _mlp_fwd_fchunks(T, D, F) > 1:

@@ -116,6 +116,43 @@ def test_fast_gelu_opt_in(interpret_kernels, monkeypatch):
         )
 
 
+def test_persist_skips_recompute_tier(interpret_kernels, monkeypatch):
+    """persist=True routes widths that would pick the kernel-forward +
+    recompute-backward pair to plain XLA (autodiff-saved residuals), and
+    leaves the in-VMEM-backward tier alone where it fits (ROOFLINE §4's
+    hybrid persist-residuals policy)."""
+    # T=32 walks rb below the 64-row floor -> in-VMEM tier off, fwdonly on
+    args = _args(T=32)
+    T, D = args[0].shape
+    F = args[3].shape[1]
+    assert not M._mlp_kernel_ok(T, D, F) and M._mlp_fwd_kernel_ok(T, D, F)
+
+    def boom(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("recompute tier selected despite persist=True")
+
+    monkeypatch.setattr(M, "_fused_fwdonly", boom)
+    want = M.mlp_block_reference(*args, dtype=jnp.float32)
+    got = M.fused_mlp_block(*args, persist=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    do = jax.random.normal(jax.random.PRNGKey(9), args[0].shape)
+    gr = jax.grad(lambda *a: jnp.vdot(
+        M.mlp_block_reference(*a, dtype=jnp.float32), do), argnums=(0, 3, 5))(*args)
+    gp = jax.grad(lambda *a: jnp.vdot(
+        M.fused_mlp_block(*a, persist=True), do), argnums=(0, 3, 5))(*args)
+    for name, a, b in zip(["x", "w1", "w2"], gr, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=f"persist grad mismatch for {name}")
+
+    # where the in-VMEM backward fits (T=64 -> rb=64), persist must NOT
+    # demote the fully-fused kernel to XLA
+    args64 = _args(T=64)
+    assert M._mlp_kernel_ok(64, D, F)
+    monkeypatch.setattr(M, "mlp_block_reference", boom)
+    got64 = M.fused_mlp_block(*args64, persist=True)
+    assert got64.shape == (64, D)
+
+
 def test_fast_gelu_derivative_consistent():
     """_dgelu_fast is the true derivative of _gelu_fast (finite diff)."""
     x = jnp.linspace(-4, 4, 201)

@@ -131,6 +131,33 @@ def test_dit_remat_matches_plain(key):
     assert np.all(np.isfinite(np.asarray(jax.tree.leaves(g)[0])))
 
 
+def test_dit_mlp_persist_matches_plain(key):
+    """mlp_persist_blocks is a memory/recompute trade, not a numerics
+    change; combining it with remat (which would discard the persisted
+    residuals and pay both costs) is rejected at construction."""
+    import pytest
+
+    kwargs = dict(img_size=8, patch_size=2, embed_dim=32, depth=2,
+                  num_heads=2, time_embed_dim=16, data_format="NHWC")
+    m0 = DDDMDiT(mlp_persist_blocks=0, **kwargs)
+    m1 = DDDMDiT(mlp_persist_blocks=2, **kwargs)
+    xt = jax.random.normal(key, (2, 8, 8, 3))
+    t = jnp.full((2,), 0.5)
+    params = m0.init(key, xt, t, xt)
+    np.testing.assert_allclose(
+        np.asarray(m0.apply(params, xt, t, xt)),
+        np.asarray(m1.apply(params, xt, t, xt)), atol=1e-6,
+    )
+    g0 = jax.grad(lambda p: jnp.sum(m0.apply(p, xt, t, xt) ** 2))(params)
+    g1 = jax.grad(lambda p: jnp.sum(m1.apply(p, xt, t, xt) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    bad = DDDMDiT(remat=True, mlp_persist_blocks=1, **kwargs)
+    with pytest.raises(ValueError, match="mlp_persist"):
+        bad.init(key, xt, t, xt)
+
+
 def test_dit_bf16_compute_close_to_fp32(key):
     kwargs = dict(img_size=8, patch_size=2, embed_dim=32, depth=2,
                   num_heads=2, time_embed_dim=16)

@@ -536,6 +536,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "DiT-B at batch 256; use for larger widths/"
                              "batches — measured 394 vs 352 img/s/chip "
                              "no-remat vs remat at DiT-B/4)")
+    parser.add_argument("--mlp-persist", type=int,
+                        default=MODEL_DEFAULTS["mlp_persist"],
+                        help="hybrid persist-residuals MLP backward: the "
+                             "first N blocks save their MLP residuals in HBM "
+                             "(no forward recompute in the backward, ~2.6 GB/"
+                             "block at DiT-B) — only effective at widths "
+                             "where the in-VMEM backward kernel gates off; "
+                             "incompatible with --remat")
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() for TPU pod "
                              "slices (also implied by JAX_COORDINATOR_ADDRESS)")
