@@ -17,6 +17,12 @@ from .sharding import (
     tree_shardings,
 )
 from .data_parallel import make_sharded_train_step, place_train_state
+from .fsdp import (
+    clip_by_global_norm_fsdp,
+    fsdp_spec,
+    fsdp_tree_shardings,
+    gather_tree,
+)
 
 __all__ = [
     "DATA_AXIS",
@@ -33,4 +39,8 @@ __all__ = [
     "train_state_shardings",
     "make_sharded_train_step",
     "place_train_state",
+    "fsdp_spec",
+    "fsdp_tree_shardings",
+    "gather_tree",
+    "clip_by_global_norm_fsdp",
 ]

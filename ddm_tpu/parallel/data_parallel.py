@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..training import TrainState, make_loss_fn
+from .fsdp import combine_fsdp_grads, gather_tree
 from .mesh import DATA_AXIS
 from .sharding import REPLICATED_RULES, train_state_shardings
 
@@ -30,14 +31,19 @@ PreprocessFn = Callable[[jax.Array, jnp.ndarray], jnp.ndarray]
 
 
 def place_train_state(
-    state: TrainState, mesh: Mesh, rules: Sequence[Tuple[str, P]] = REPLICATED_RULES
+    state: TrainState, mesh: Mesh,
+    rules: Sequence[Tuple[str, P]] = REPLICATED_RULES,
+    *, shardings: Any = None,
 ) -> Tuple[TrainState, Any]:
     """Place a host-built TrainState onto the mesh per the rule table.
 
     Returns ``(placed_state, state_shardings)``; the shardings tree is what
-    the jitted step uses for its donated input/output.
+    the jitted step uses for its donated input/output. Pass a prebuilt
+    ``shardings`` tree to bypass the path rules (the FSDP placement is
+    shape-based — see :func:`ddm_tpu.parallel.fsdp.fsdp_tree_shardings`).
     """
-    shardings = train_state_shardings(state, mesh, rules)
+    if shardings is None:
+        shardings = train_state_shardings(state, mesh, rules)
     placed = jax.tree.map(
         lambda x, s: jax.device_put(x, s), state, shardings,
         is_leaf=lambda x: x is None,
@@ -58,6 +64,7 @@ def make_sharded_train_step(
     dp_shard_map: Optional[bool] = None,
     steps_per_scan: int = 1,
     target_transform: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    fsdp: bool = False,
 ):
     """Build a jitted ``(state, key, batch) -> (state, metrics)`` step.
 
@@ -91,6 +98,17 @@ def make_sharded_train_step(
             ``(K, B, ...)`` (batch axis sharded over ``data``) and returns
             stacked per-step metrics ``(K,)``. Amortises per-dispatch
             overhead (measured ~5 ms through remote-TPU relays).
+        fsdp: ZeRO-3 parameter/optimizer sharding over the data axis (see
+            :mod:`ddm_tpu.parallel.fsdp`). Requires ``dp_shard_map`` and a
+            ``state_shardings`` tree built with
+            :func:`~ddm_tpu.parallel.fsdp.fsdp_tree_shardings` (pass it to
+            :func:`place_train_state` via ``shardings=``). Inside the step,
+            each shard all-gathers the weights just in time for the
+            forward; autodiff turns that gather into the gradient
+            reduce-scatter, and the optimizer updates 1/N-sized local
+            leaves. If the ``tx`` clips by global norm it must use
+            :func:`~ddm_tpu.parallel.fsdp.clip_by_global_norm_fsdp` — the
+            plain optax clipper would see only local norms.
 
     The raw batch is expected sharded over ``data`` on its leading axis; the
     returned metrics are fully-reduced replicated scalars.
@@ -101,6 +119,13 @@ def make_sharded_train_step(
     repl = NamedSharding(mesh, P())
     if dp_shard_map is None:
         dp_shard_map = mesh.shape.get("model", 1) == 1
+    if fsdp and not dp_shard_map:
+        raise ValueError(
+            "fsdp=True requires the shard_map step (dp_shard_map=True): "
+            "the just-in-time weight gather is a per-shard program"
+        )
+    param_shardings = state_shardings.params if fsdp else None
+    dp_degree = mesh.shape[DATA_AXIS]
 
     def step(state: TrainState, key: jax.Array, batch: jnp.ndarray):
         if dp_shard_map:
@@ -112,12 +137,28 @@ def make_sharded_train_step(
             x0 = preprocess(kpre, batch)
         else:
             x0 = batch
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, key, x0
-        )
-        if dp_shard_map:
-            grads = jax.lax.pmean(grads, DATA_AXIS)
-            metrics = jax.tree.map(lambda v: jax.lax.pmean(v, DATA_AXIS), metrics)
+        if fsdp:
+            # Differentiate w.r.t. the LOCAL parameter shards through the
+            # gather: the all_gather's VJP is a psum_scatter, so sharded
+            # leaves come back as this shard's slice of the cross-shard
+            # gradient SUM (ZeRO's reduce-scatter for free).
+            def local_loss(local_params, k, x):
+                full = gather_tree(local_params, param_shardings)
+                return loss_fn(full, k, x)
+
+            (_, metrics), grads = jax.value_and_grad(
+                local_loss, has_aux=True)(state.params, key, x0)
+            grads = combine_fsdp_grads(grads, param_shardings, dp_degree)
+            metrics = jax.tree.map(
+                lambda v: jax.lax.pmean(v, DATA_AXIS), metrics)
+        else:
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, key, x0
+            )
+            if dp_shard_map:
+                grads = jax.lax.pmean(grads, DATA_AXIS)
+                metrics = jax.tree.map(
+                    lambda v: jax.lax.pmean(v, DATA_AXIS), metrics)
         new_state = state.apply_gradients(grads=grads)
         return new_state, metrics
 

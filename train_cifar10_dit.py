@@ -129,9 +129,20 @@ def train(args: argparse.Namespace) -> None:
     print(f"DDDMDiT: {n_params / 1e6:.2f}M params, "
           f"{jax.local_device_count()} device(s)", flush=True)
 
+    mesh = make_mesh(tp=args.tp)
+
     tx_parts = []
     if args.grad_clip is not None and args.grad_clip > 0:
-        tx_parts.append(optax.clip_by_global_norm(args.grad_clip))
+        if args.fsdp:
+            # the plain optax clipper would norm only the LOCAL parameter
+            # shards inside the shard_map step; the FSDP variant psums
+            # sharded/replicated leaves correctly
+            from ddm_tpu.parallel import (clip_by_global_norm_fsdp,
+                                          fsdp_tree_shardings)
+            tx_parts.append(clip_by_global_norm_fsdp(
+                args.grad_clip, fsdp_tree_shardings(params, mesh)))
+        else:
+            tx_parts.append(optax.clip_by_global_norm(args.grad_clip))
     tx_parts.append(optax.adamw(args.lr, weight_decay=args.weight_decay))
     tx = optax.chain(*tx_parts)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
@@ -144,9 +155,14 @@ def train(args: argparse.Namespace) -> None:
             start_epoch = int(saved_cfg.get("epoch", 0)) + 1
             print(f"Resumed from {latest} at epoch {start_epoch}", flush=True)
 
-    mesh = make_mesh(tp=args.tp)
-    rules = DIT_TP_RULES if args.tp > 1 else REPLICATED_RULES
-    state, state_shardings = place_train_state(state, mesh, rules)
+    if args.fsdp:
+        from ddm_tpu.parallel import fsdp_tree_shardings
+
+        state, state_shardings = place_train_state(
+            state, mesh, shardings=fsdp_tree_shardings(state, mesh))
+    else:
+        rules = DIT_TP_RULES if args.tp > 1 else REPLICATED_RULES
+        state, state_shardings = place_train_state(state, mesh, rules)
 
     if args.dry_eval:
         # Rehearse the FULL evaluation protocol end-to-end with zero
@@ -200,8 +216,9 @@ def train(args: argparse.Namespace) -> None:
         step_apply, mesh, state_shardings,
         m=args.m, beta=args.beta, lam=args.lam, w_bias=args.w_bias,
         preprocess=preprocess,
-        dp_shard_map=True if args.tp > 1 else None,
+        dp_shard_map=True if (args.tp > 1 or args.fsdp) else None,
         target_transform=lambda x0: patchify_images(x0, args.patch_size),
+        fsdp=args.fsdp,
     )
 
     global_step = int(state.step)
@@ -347,8 +364,13 @@ def train(args: argparse.Namespace) -> None:
 
     if args.sample_batch > 0:
         sample_key = jax.random.fold_in(root_key, 999)
+        sample_params = state.params
+        if args.fsdp:
+            from ddm_tpu.parallel import replicate_tree
+
+            sample_params = replicate_tree(sample_params)
         samples = sample_dddm_batched(
-            model.apply, state.params, sample_key, args.sample_batch,
+            model.apply, sample_params, sample_key, args.sample_batch,
             steps=args.sample_steps, eps_churn=args.eps_churn,
             data_shape=(image_size, image_size, channels),
         )
@@ -420,14 +442,14 @@ def evaluate(
 
     def local_replicated(tree):
         # per-process view of global params so local jit sampling never
-        # touches non-addressable shards: all-gather TP-sharded leaves to
-        # replicated (collective; no-op for already-replicated DP params),
-        # then take each leaf's local copy
-        if not multihost:
-            return tree
+        # touches non-addressable shards: all-gather TP/FSDP-sharded leaves
+        # to replicated (collective; no-op for already-replicated DP
+        # params), then take each leaf's local copy
         from ddm_tpu.parallel import replicate_tree
 
         tree = replicate_tree(tree)
+        if not multihost:
+            return tree
         return jax.tree.map(
             lambda a: jnp.asarray(a.addressable_data(0))
             if isinstance(a, jax.Array) and not a.is_fully_addressable else a,
@@ -544,6 +566,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "block at DiT-B) — only effective at widths "
                              "where the in-VMEM backward kernel gates off; "
                              "incompatible with --remat")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3 sharding of params + Adam moments over "
+                             "the data axis (ddm_tpu.parallel.fsdp): weights "
+                             "all-gather just in time inside the step and "
+                             "gradients reduce-scatter via the gather's VJP. "
+                             "Cuts replicated fp32 state from 12 to 12/N "
+                             "bytes/param; requires --tp 1")
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() for TPU pod "
                              "slices (also implied by JAX_COORDINATOR_ADDRESS)")
@@ -585,6 +614,10 @@ def main(argv: Optional[list] = None) -> None:
         if args.embed_dim % args.tp or args.heads % args.tp or hidden % args.tp:
             parser.error("--tp must divide --embed-dim, --heads, and the MLP "
                          "hidden size")
+    if args.fsdp and args.tp > 1:
+        parser.error("--fsdp composes with data parallelism only: the "
+                     "shape-based FSDP placement conflicts with the Megatron "
+                     "TP rule table (use one or the other)")
     if args.eval_every > 0 and args.eval_samples <= 0:
         parser.error("--eval-samples must be positive when evaluation is enabled")
     if args.eval_batch <= 0:
