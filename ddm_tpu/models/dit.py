@@ -249,7 +249,7 @@ class DiTBlock(nn.Module):
     # Hybrid persist-residuals MLP backward (ROOFLINE §4): let XLA save
     # this block's MLP residuals instead of recomputing the forward in the
     # backward. Only meaningful on widths where the in-VMEM backward kernel
-    # does not fit (DiT-B+); costs ~2.6 GB HBM per DiT-B block.
+    # does not fit (DiT-B+); measured ~0.43 GiB HBM per DiT-B block.
     mlp_persist: bool = False
 
     @nn.compact
@@ -375,10 +375,13 @@ class DDDMDiT(nn.Module):
     # Hybrid persist-residuals MLP backward (ROOFLINE §4): the FIRST
     # ``mlp_persist_blocks`` blocks run their MLP half-block as plain XLA
     # with autodiff-saved residuals (no forward recompute in the backward,
-    # a measured 2.6 ms/block at DiT-B) at ~2.6 GB HBM per persisted
-    # block; the rest keep the kernel-forward + recompute backward.
-    # 0 = all recompute (memory-safe default). Incompatible with remat
-    # (remat discards the residuals, paying both costs).
+    # a measured 2.6 ms/block at DiT-B) at ~0.43 GiB HBM per persisted
+    # block (measured; XLA remats the elementwise chains in-fusion); the
+    # rest keep the kernel-forward + recompute backward. Measured sweep:
+    # DiT-B b256 persist 0->12 = 409.7->430.2 img/s, DiT-L b128 persist
+    # 24 = 132.4 (repo best). 0 = all recompute (memory-safe default).
+    # Incompatible with remat (remat discards the residuals, paying both
+    # costs).
     mlp_persist_blocks: int = 0
     # Tensor parallelism (Megatron layout; see _TPAttention). tp > 1 selects
     # separate column-parallel q/k/v projections; tp_axis names the mesh

@@ -473,9 +473,12 @@ def fused_mlp_block(x, scale, bias, w1, b1, w2, b2, persist: bool = False):
     recomputing the half-block forward inside the backward. Audited at the
     DiT-B production shape: XLA fwd 9.38 ms + saved-residual bwd 13.41 ms
     = 22.8 ms/block vs the production kernel-fwd + recompute-bwd 25.4 ms —
-    a structural 2.6 ms/block, bought with ~2.6 GB/block of HBM residuals.
-    Callers spend it on only as many blocks as spare HBM allows
-    (``DDDMDiT.mlp_persist_blocks``). A no-op on widths where the in-VMEM
+    a structural 2.6 ms/block. Measured HBM cost is ~0.43 GiB/block (not
+    the analytic 2.6 GB: XLA rematerialises the elementwise chains inside
+    the backward fusions and persists essentially one bf16 tensor), so
+    every DiT-B block fits at batch 256 — measured 409.7 -> 430.2 img/s
+    persisting all 12 (ROOFLINE §4 sweep table). Callers pick N via
+    ``DDDMDiT.mlp_persist_blocks``. A no-op on widths where the in-VMEM
     backward fits (DiT-S): that kernel recomputes from VMEM, not HBM, and
     beats both.
     """

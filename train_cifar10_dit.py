@@ -562,10 +562,11 @@ def build_parser() -> argparse.ArgumentParser:
                         default=MODEL_DEFAULTS["mlp_persist"],
                         help="hybrid persist-residuals MLP backward: the "
                              "first N blocks save their MLP residuals in HBM "
-                             "(no forward recompute in the backward, ~2.6 GB/"
-                             "block at DiT-B) — only effective at widths "
-                             "where the in-VMEM backward kernel gates off; "
-                             "incompatible with --remat")
+                             "(no forward recompute in the backward, measured "
+                             "~0.43 GiB/block at DiT-B; persisting all 12 "
+                             "blocks = +5%% img/s at batch 256) — only "
+                             "effective at widths where the in-VMEM backward "
+                             "kernel gates off; incompatible with --remat")
     parser.add_argument("--fsdp", action="store_true",
                         help="ZeRO-3 sharding of params + Adam moments over "
                              "the data axis (ddm_tpu.parallel.fsdp): weights "
