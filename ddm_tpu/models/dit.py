@@ -165,6 +165,19 @@ class _AttnParams(nn.Module):
         return wqkv, bqkv, wproj, bproj
 
 
+def _layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
+    """fp32 LayerNorm matching ``flax.linen.LayerNorm`` (eps 1e-6).
+
+    Used by the sequence-parallel block bodies, where the norm runs on the
+    LOCAL token shard with explicitly-held (f-wrapped) params — LayerNorm is
+    per-token, so it never needs the gathered sequence.
+    """
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-6) * scale + bias
+
+
 class _TPAttention(nn.Module):
     """Tensor-parallel attention: column-parallel q/k/v, row-parallel proj.
 
@@ -189,6 +202,13 @@ class _TPAttention(nn.Module):
     tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
     attention_impl: str = "auto"
+    # Megatron-style sequence parallelism: ``h`` arrives as the FULL
+    # (already all-gathered) sequence whose gather transpose owns the
+    # input cotangent reassembly (no f operator), and the row-parallel
+    # partial outputs leave through a token reduce-scatter instead of the
+    # g psum — the residual stream stays token-sharded. The replicated
+    # proj bias is f-wrapped because its cotangent is then per-token-shard.
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, x_res: jnp.ndarray) -> jnp.ndarray:
@@ -198,7 +218,7 @@ class _TPAttention(nn.Module):
         local_dim = self.dim // self.tp if shard else self.dim
         local_heads = self.num_heads // self.tp if shard else self.num_heads
 
-        if shard:
+        if shard and not self.sequence_parallel:
             from ddm_tpu.parallel.tp import tp_region_enter
 
             h = tp_region_enter(h, self.tp_axis)
@@ -215,7 +235,14 @@ class _TPAttention(nn.Module):
         out = jnp.dot(
             o, wproj.astype(o.dtype), preferred_element_type=jnp.float32
         )
-        if shard:
+        if shard and self.sequence_parallel:
+            from ddm_tpu.parallel.tp import tp_region_enter
+
+            out = jax.lax.psum_scatter(
+                out, self.tp_axis, scatter_dimension=1, tiled=True
+            )
+            bproj = tp_region_enter(bproj, self.tp_axis)
+        elif shard:
             from ddm_tpu.parallel.tp import tp_region_exit
 
             out = tp_region_exit(out, self.tp_axis)
@@ -473,6 +500,22 @@ class DDDMDiT(nn.Module):
         ``__call__``'s output: unpatchify is a pure permutation applied
         after the same bf16 rounding.
         """
+        h = self.embed_tokens(xt, t, xi)
+        for block in self.blocks:
+            h = block(h)
+        return self.head_tokens(h)
+
+    def embed_tokens(
+        self, xt: jnp.ndarray, t: jnp.ndarray, xi: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Everything before the block stack: ``(xt, t, xi) -> (B, N, D)``.
+
+        Exposed as a separate method (``apply(..., method="embed_tokens")``)
+        so the pipeline-parallel runner (:mod:`ddm_tpu.parallel.pipeline`)
+        can compute the embedding outside the staged block loop. Touches only
+        the patch/time/pos parameters, so it can be applied with a param tree
+        that carries no ``block_*`` subtrees.
+        """
         if xt.shape != xi.shape:
             raise ValueError("xt and xi must have the same shape")
         if xt.ndim != 4:
@@ -489,9 +532,14 @@ class DDDMDiT(nn.Module):
         ).astype(self.dtype)
         temb = self.time_mlp[1](nn.silu(self.time_mlp[0](temb)))
 
-        h = h + temb[:, None, :] + self.pos_embed.astype(self.dtype)
-        for block in self.blocks:
-            h = block(h)
+        return h + temb[:, None, :] + self.pos_embed.astype(self.dtype)
+
+    def head_tokens(self, h: jnp.ndarray) -> jnp.ndarray:
+        """Everything after the block stack: ``(B, N, D) -> fp32 tokens``.
+
+        Counterpart of :meth:`embed_tokens` for the pipeline-parallel runner;
+        touches only ``final_norm`` and ``unembed``.
+        """
         h = self.final_norm(h).astype(self.dtype)
         return self.unembed(h).astype(jnp.float32)
 

@@ -17,8 +17,17 @@ from .sharding import (
     tree_shardings,
 )
 from .data_parallel import make_sharded_train_step, place_train_state
+from .pipeline import (
+    PIPE_AXIS,
+    from_pipeline_params,
+    make_pipe_mesh,
+    make_pipelined_apply,
+    pipeline_tree_shardings,
+    to_pipeline_params,
+)
 from .fsdp import (
     clip_by_global_norm_fsdp,
+    clip_by_global_norm_sharded,
     fsdp_spec,
     fsdp_tree_shardings,
     gather_tree,
@@ -43,4 +52,11 @@ __all__ = [
     "fsdp_tree_shardings",
     "gather_tree",
     "clip_by_global_norm_fsdp",
+    "clip_by_global_norm_sharded",
+    "PIPE_AXIS",
+    "make_pipe_mesh",
+    "to_pipeline_params",
+    "from_pipeline_params",
+    "pipeline_tree_shardings",
+    "make_pipelined_apply",
 ]

@@ -47,6 +47,7 @@ __all__ = [
     "fsdp_tree_shardings",
     "gather_tree",
     "clip_by_global_norm_fsdp",
+    "clip_by_global_norm_sharded",
 ]
 
 # Leaves smaller than this stay replicated: gathering a (384,) bias costs
@@ -124,19 +125,29 @@ def combine_fsdp_grads(grads: Any, shardings: Any, dp: int) -> Any:
     return jax.tree.map(leaf, grads, shardings)
 
 
-def clip_by_global_norm_fsdp(max_norm: float, param_shardings: Any):
-    """``optax.clip_by_global_norm`` for FSDP-sharded gradients.
+def clip_by_global_norm_sharded(max_norm: float, param_shardings: Any,
+                                axis: str = DATA_AXIS):
+    """``optax.clip_by_global_norm`` for gradients sharded over a mesh axis.
 
-    Must run inside the data-axis ``shard_map`` (it psums). The true
-    global squared norm is::
+    Must run inside the ``shard_map`` step (it psums over ``axis``). A leaf
+    whose PartitionSpec names ``axis`` holds a *disjoint slice* of the true
+    gradient on each shard (local squared sums add up to the total); every
+    other leaf is *identical* on all N shards of that axis (a psum would
+    count it N times, so it is pre-divided by N). The true global squared
+    norm is therefore::
 
-        psum( sum_sharded |g_local|^2  +  sum_replicated |g|^2 / N )
+        psum_axis( sum_sharded |g_local|^2  +  sum_replicated |g|^2 / N )
 
-    — sharded leaves hold disjoint slices (their local sums add up to the
-    total), replicated leaves are identical on all N shards (psum would
-    count them N times). Semantics match ``optax.clip_by_global_norm``:
-    updates are scaled by ``max_norm / norm`` only when ``norm``
-    exceeds ``max_norm``.
+    This covers all three sharded-gradient layouts in the framework —
+    ZeRO-3 FSDP (``axis='data'``; leaves sharded by
+    :func:`fsdp_tree_shardings`), Megatron tensor parallelism
+    (``axis='model'``; attention/MLP weight grads are local column/row
+    slices), and pipeline parallelism (``axis='pipe'``; the stacked
+    ``stages`` grads are local stage slices). Gradients over any *other*
+    mesh axis must already be reduced (the step pmeans over ``data``
+    before the optimizer runs), so a single-axis psum suffices.
+    Semantics match ``optax.clip_by_global_norm``: updates are scaled by
+    ``max_norm / norm`` only when ``norm`` exceeds ``max_norm``.
     """
 
     def init_fn(params):
@@ -145,17 +156,28 @@ def clip_by_global_norm_fsdp(max_norm: float, param_shardings: Any):
 
     def update_fn(updates, state, params=None):
         del params
-        n = jax.lax.psum(1.0, DATA_AXIS)
+        n = jax.lax.psum(1.0, axis)
+
+        def is_sharded(spec: P) -> bool:
+            return any(
+                s == axis or (isinstance(s, tuple) and axis in s)
+                for s in spec if s is not None
+            )
 
         def leaf_sq(g, sh):
             s = jnp.sum(jnp.square(g.astype(jnp.float32)))
-            return s if _shard_dim(sh.spec) is not None else s / n
+            return s if is_sharded(sh.spec) else s / n
 
         sq = jax.tree.reduce(
             jnp.add, jax.tree.map(leaf_sq, updates, param_shardings)
         )
-        g_norm = jnp.sqrt(jax.lax.psum(sq, DATA_AXIS))
+        g_norm = jnp.sqrt(jax.lax.psum(sq, axis))
         scale = jnp.where(g_norm < max_norm, 1.0, max_norm / g_norm)
         return jax.tree.map(lambda g: g * scale, updates), state
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def clip_by_global_norm_fsdp(max_norm: float, param_shardings: Any):
+    """FSDP grad clipping: :func:`clip_by_global_norm_sharded` over ``data``."""
+    return clip_by_global_norm_sharded(max_norm, param_shardings, DATA_AXIS)

@@ -1,0 +1,260 @@
+"""Pipeline parallelism: the DiT block stack staged over a ``pipe`` mesh axis.
+
+The reference has no parallelism of any kind (SURVEY §2, parallelism
+statement); like :mod:`ddm_tpu.parallel.tp` and ``fsdp``, this module is a
+capability addition for scaled DiT depth — models whose block stack does not
+fit (or is not wanted) on a single chip. The design is TPU-native GPipe:
+
+  * The ``depth`` DiT blocks are re-packed into a **stacked** parameter tree
+    of shape ``(S, L, ...)`` per leaf (``S`` pipeline stages × ``L = depth/S``
+    blocks per stage) and sharded ``P('pipe')`` over the mesh — each device
+    holds only its own stage's weights and Adam moments (1/S of the stack).
+  * One jitted ``lax.scan`` drives ``M + S - 1`` pipeline ticks over ``M``
+    microbatches. Every tick runs this stage's ``L`` blocks on the activation
+    in flight and rotates it to the next stage with a single
+    ``lax.ppermute`` over the ``pipe`` axis (nearest-neighbour ICI traffic).
+  * The backward pass is pure autodiff: the transpose of ``ppermute`` is the
+    reverse rotation, so the cotangents pipeline backwards through the same
+    schedule (an all-forward-then-all-backward GPipe; bubble fraction
+    ``(S-1)/(M+S-1)``, amortised by raising ``M``).
+  * The embedding (patchify/time/pos) and head (final-norm/unembed) weights
+    stay replicated over ``pipe``; every device computes them redundantly
+    (they are <2% of DiT FLOPs). Gradient correctness at the two
+    replicated↔staged boundaries reuses the Megatron f/g operators from
+    :mod:`ddm_tpu.parallel.tp`: the embedding output enters the pipeline
+    through ``tp_region_enter`` (identity forward, psum backward — only
+    stage 0 consumes it, so the psum rebuilds the full cotangent on every
+    device and replicated embed grads stay replicated), and the collected
+    last-stage outputs leave through ``tp_region_exit`` (psum forward to
+    broadcast them — every other stage's buffer is zeros — identity
+    backward, because the loss downstream is replicated over ``pipe``).
+
+Composes with data parallelism on a 2-D ``(data, pipe)`` mesh: the batch is
+sharded over ``data``; gradients are ``pmean``-ed over ``data`` only (the
+f/g operators own every ``pipe`` collective).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+from .tp import tp_region_enter, tp_region_exit
+
+__all__ = [
+    "PIPE_AXIS",
+    "make_pipe_mesh",
+    "split_block_params",
+    "merge_block_params",
+    "to_pipeline_params",
+    "from_pipeline_params",
+    "pipeline_tree_shardings",
+    "make_pipelined_apply",
+]
+
+PIPE_AXIS = "pipe"
+
+
+def make_pipe_mesh(
+    pp: int,
+    dp: Optional[int] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 2-D ``(data, pipe)`` mesh.
+
+    The ``pipe`` axis is trailing (fastest-varying) so consecutive stages map
+    to nearest-neighbour ICI links, which carry the per-tick activation
+    rotation.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if dp is None:
+        if n % pp != 0:
+            raise ValueError(f"{n} devices not divisible by pp={pp}")
+        dp = n // pp
+    if dp * pp != n:
+        raise ValueError(f"dp*pp = {dp * pp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, pp)
+    return Mesh(arr, (DATA_AXIS, PIPE_AXIS))
+
+
+def _block_keys(params: Dict[str, Any]) -> list:
+    keys = sorted(
+        (k for k in params if k.startswith("block_")),
+        key=lambda k: int(k.split("_")[1]),
+    )
+    if not keys:
+        raise ValueError("param tree has no block_* subtrees")
+    return keys
+
+
+def split_block_params(variables: Dict[str, Any]) -> Tuple[Dict[str, Any], Any]:
+    """Split a canonical DiT variable tree into (non-block vars, stacked blocks).
+
+    The stacked tree has one leading ``depth`` axis per leaf (``block_0`` …
+    ``block_{depth-1}`` stacked in order). The non-block tree keeps the
+    canonical ``{'params': {...}}`` layout minus the block subtrees, so it
+    remains directly applicable via ``apply(..., method='embed_tokens')``.
+    """
+    p = dict(variables["params"])
+    keys = _block_keys(p)
+    blocks = [p.pop(k) for k in keys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    nonblock = dict(variables)
+    nonblock["params"] = p
+    return nonblock, stacked
+
+
+def merge_block_params(nonblock: Dict[str, Any], stacked: Any) -> Dict[str, Any]:
+    """Inverse of :func:`split_block_params` (canonical checkpoint layout)."""
+    leaves = jax.tree.leaves(stacked)
+    depth = int(leaves[0].shape[0])
+    p = dict(nonblock["params"])
+    for i in range(depth):
+        p[f"block_{i}"] = jax.tree.map(lambda a, i=i: a[i], stacked)
+    out = dict(nonblock)
+    out["params"] = p
+    return out
+
+
+def to_pipeline_params(variables: Dict[str, Any], n_stages: int) -> Dict[str, Any]:
+    """Canonical DiT variables -> pipeline param tree.
+
+    Returns ``{'embed': nonblock_vars, 'stages': stacked}`` where ``stages``
+    leaves have shape ``(S, L, ...)`` — stage-major so a ``P('pipe')``
+    sharding puts each stage's ``L`` consecutive blocks on one device.
+    """
+    nonblock, stacked = split_block_params(variables)
+    depth = int(jax.tree.leaves(stacked)[0].shape[0])
+    if depth % n_stages:
+        raise ValueError(f"depth {depth} not divisible by {n_stages} stages")
+    L = depth // n_stages
+    stages = jax.tree.map(
+        lambda a: a.reshape((n_stages, L) + a.shape[1:]), stacked
+    )
+    return {"embed": nonblock, "stages": stages}
+
+
+def from_pipeline_params(pipe_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Pipeline param tree -> canonical DiT variables (for checkpoints)."""
+    stages = pipe_params["stages"]
+    s, l = jax.tree.leaves(stages)[0].shape[:2]
+    stacked = jax.tree.map(
+        lambda a: np.asarray(a).reshape((s * l,) + a.shape[2:]), stages
+    )
+    return merge_block_params(pipe_params["embed"], stacked)
+
+
+def pipeline_tree_shardings(tree: Any, mesh: Mesh) -> Any:
+    """Shardings for a pipeline TrainState: ``stages`` leaves ``P('pipe')``
+    on their leading axis, everything else replicated.
+
+    Works for the whole TrainState because Adam's moments mirror the param
+    tree (same ``stages``/``embed`` key structure).
+    """
+
+    def leaf_sharding(path, leaf):
+        in_stages = any(
+            getattr(p, "key", None) == "stages" for p in path
+        )
+        ndim = getattr(leaf, "ndim", 0)
+        if in_stages and ndim >= 1:
+            return NamedSharding(mesh, P(PIPE_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, tree)
+
+
+def make_pipelined_apply(model, n_stages: int, n_microbatches: int):
+    """Build the pipelined denoiser apply fn (shard_map body).
+
+    Returns ``apply(pipe_params, xt, t, xi) -> fp32 tokens`` with the
+    framework denoiser contract, meant to run INSIDE a ``shard_map`` over a
+    ``(data, pipe)`` mesh (e.g. via
+    :func:`ddm_tpu.parallel.make_sharded_train_step` with
+    ``dp_shard_map=True``). ``pipe_params`` is the tree from
+    :func:`to_pipeline_params`; under ``shard_map`` its ``stages`` leaves
+    arrive as the local ``(1, L, ...)`` stage slice.
+
+    The per-shard row count (``B*m`` after the training step's m-expansion)
+    must be divisible by ``n_microbatches``.
+    """
+    from ddm_tpu.models.dit import DiTBlock
+
+    block = DiTBlock(
+        model.embed_dim,
+        model.num_heads,
+        model.mlp_ratio,
+        dtype=model.dtype,
+        attention_impl=model.attention_impl,
+        fused_mlp=model.fused_mlp,
+    )
+    S = n_stages
+    M = n_microbatches
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def apply(pipe_params, xt, t, xi):
+        h = model.apply(pipe_params["embed"], xt, t, xi,
+                        method="embed_tokens")
+        B, N, D = h.shape
+        if B % M:
+            raise ValueError(
+                f"per-shard rows {B} not divisible by {M} microbatches"
+            )
+        mb = B // M
+        # f operator: h is replicated over pipe but consumed (via the
+        # stage-0 select below) by only one member; the backward psum
+        # rebuilds the full dL/dh on every device so the replicated embed
+        # params get full, identical gradients per shard.
+        hm = tp_region_enter(h.reshape(M, mb, N, D), PIPE_AXIS)
+
+        stage_local = jax.tree.map(lambda a: a[0], pipe_params["stages"])
+        s_idx = jax.lax.axis_index(PIPE_AXIS)
+
+        def run_stage(x):
+            def body(xc, bp):
+                return block.apply({"params": bp}, xc), None
+
+            y, _ = jax.lax.scan(body, x, stage_local)
+            return y
+
+        def tick(carry, tt):
+            st, out = carry
+            ridx = jnp.clip(tt, 0, M - 1)
+            inp = jax.lax.dynamic_index_in_dim(hm, ridx, 0, keepdims=False)
+            x = jnp.where(s_idx == 0, inp, st)
+            y = run_stage(x)
+            widx = tt - (S - 1)
+            wc = jnp.clip(widx, 0, M - 1)
+            cur = jax.lax.dynamic_index_in_dim(out, wc, 0, keepdims=False)
+            valid = (s_idx == S - 1) & (widx >= 0)
+            out = jax.lax.dynamic_update_index_in_dim(
+                out, jnp.where(valid, y, cur), wc, 0
+            )
+            if S > 1:
+                st = jax.lax.ppermute(y, PIPE_AXIS, perm)
+            else:
+                st = y
+            return (st, out), None
+
+        carry0 = (
+            jnp.zeros((mb, N, D), h.dtype),
+            jnp.zeros((M, mb, N, D), h.dtype),
+        )
+        (_, out), _ = jax.lax.scan(tick, carry0, jnp.arange(M + S - 1))
+        # g operator: every stage but the last holds zeros, so the psum is a
+        # broadcast of the last stage's outputs; the identity backward is
+        # correct because the downstream loss is replicated over pipe.
+        mask = (s_idx == S - 1).astype(out.dtype)
+        out = tp_region_exit(out * mask, PIPE_AXIS)
+        return model.apply(
+            pipe_params["embed"], out.reshape(B, N, D), method="head_tokens"
+        )
+
+    return apply

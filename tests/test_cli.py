@@ -219,3 +219,41 @@ def test_generate_cli_from_checkpoint(tmp_path):
         "--batch", "2", "--steps", "2", "--out", "", "--npz", str(npz3),
     ])
     assert np.load(npz3)["samples"].shape == (2, 32, 32, 3)
+
+
+def test_cifar_cli_pipeline_parallel(tmp_path, monkeypatch):
+    """--pp 2 end-to-end: pipeline-staged training epoch + eval + sampling
+    on the virtual 8-device mesh (data=4 x pipe=2). Exercises the
+    pipeline param re-pack (to/from_pipeline_params), the staged shard_map
+    step, the pipe-axis grad clipper, and the canonical-params conversion
+    that sampling/eval need."""
+    import ddm_tpu.models.inception as inception_mod
+
+    def _raise(*a, **k):
+        raise RuntimeError("no inception in tests")
+
+    monkeypatch.setattr(inception_mod, "InceptionEmbedding", _raise)
+    cifar_cli.main([
+        "--synthetic", "--epochs", "1", "--batch", "16",
+        "--embed-dim", "64", "--depth", "2", "--heads", "2",
+        "--time-embed", "16", "--m", "2", "--pp", "2",
+        "--pp-microbatches", "2", "--sample-batch", "4",
+        "--sample-steps", "2", "--eval-every", "1", "--eval-samples", "32",
+        "--eval-batch", "16", "--mmd-samples", "32", "--fid-samples", "32",
+        "--ckpt-every", "1", "--dtype", "float32", "--out", str(tmp_path),
+    ])
+    for artifact in ("model_epoch001.ckpt", "model_final.ckpt",
+                     "samples.png", "eval_metrics.json"):
+        assert (tmp_path / artifact).exists(), artifact
+    with open(tmp_path / "eval_metrics.json") as f:
+        ev = json.load(f)
+    assert "mmd" in ev and len(ev["epoch"]) == 1
+
+
+def test_cifar_cli_pp_validation(capsys):
+    with pytest.raises(SystemExit):
+        cifar_cli.main(["--pp", "2", "--tp", "2"])
+    assert "--pp composes with data parallelism only" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        cifar_cli.main(["--pp", "3", "--depth", "8"])
+    assert "--pp must divide --depth" in capsys.readouterr().err

@@ -1,0 +1,169 @@
+"""Pipeline-parallelism tests (8 virtual CPU devices; SURVEY §4 harness).
+
+Asserts the GPipe-style staged runner (``ddm_tpu.parallel.pipeline``) is
+numerically equivalent to the plain single-device DiT: same params, same
+keys, same global batch -> same tokens, same loss, same updated params,
+whether the block stack runs in one sweep or staged over a ``pipe`` mesh
+axis with microbatched ppermute rotation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from ddm_tpu.models.dit import DDDMDiT, patchify_images
+from ddm_tpu.parallel import (
+    make_pipe_mesh,
+    make_pipelined_apply,
+    make_sharded_train_step,
+    pipeline_tree_shardings,
+    place_train_state,
+    shard_batch,
+    from_pipeline_params,
+    to_pipeline_params,
+)
+from ddm_tpu.training import TrainState, make_loss_fn
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _tiny_dit(depth=4):
+    model = DDDMDiT(
+        img_size=8, patch_size=2, embed_dim=32, depth=depth, num_heads=2,
+        time_embed_dim=16, data_format="NHWC",
+    )
+    xt = jnp.zeros((2, 8, 8, 3))
+    params = model.init(jax.random.PRNGKey(0), xt, jnp.zeros((2,)), xt)
+    return model, params
+
+
+def test_pipeline_param_roundtrip():
+    model, params = _tiny_dit(depth=4)
+    pipe = to_pipeline_params(params, n_stages=2)
+    stages_leaf = jax.tree.leaves(pipe["stages"])[0]
+    assert stages_leaf.shape[:2] == (2, 2)  # (S, L)
+    back = from_pipeline_params(pipe)
+    assert jax.tree.structure(back) == jax.tree.structure(params)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_depth_not_divisible_raises():
+    model, params = _tiny_dit(depth=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        to_pipeline_params(params, n_stages=3)
+
+
+@pytest.mark.parametrize("pp,microbatches", [(4, 2), (2, 4)])
+def test_pipelined_forward_matches_plain(pp, microbatches):
+    model, params = _tiny_dit(depth=4)
+    B = 16
+    xt = jax.random.normal(jax.random.PRNGKey(1), (B, 8, 8, 3))
+    xi = jax.random.normal(jax.random.PRNGKey(2), (B, 8, 8, 3))
+    t = jnp.linspace(0.1, 0.9, B)
+    want = model.apply(params, xt, t, xi, method="tokens")
+
+    mesh = make_pipe_mesh(pp=pp)
+    dp = mesh.shape["data"]
+    assert B % dp == 0
+    pipe_params = to_pipeline_params(params, n_stages=pp)
+    shardings = pipeline_tree_shardings(pipe_params, mesh)
+    pipe_params = jax.tree.map(jax.device_put, pipe_params, shardings)
+    specs = jax.tree.map(lambda s: s.spec, shardings)
+
+    apply = make_pipelined_apply(model, n_stages=pp,
+                                 n_microbatches=microbatches)
+    papply = jax.jit(
+        jax.shard_map(
+            apply, mesh=mesh,
+            in_specs=(specs, P("data"), P("data"), P("data")),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+    )
+    got = papply(
+        pipe_params,
+        jax.device_put(xt, jax.sharding.NamedSharding(mesh, P("data"))),
+        jax.device_put(t, jax.sharding.NamedSharding(mesh, P("data"))),
+        jax.device_put(xi, jax.sharding.NamedSharding(mesh, P("data"))),
+    )
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_pipelined_train_step_matches_manual_oracle():
+    """DP x PP training == manual per-data-shard emulation, multi-step.
+
+    The oracle replays exactly what the shard_map step does: fold the data-
+    axis index into the key per shard, average gradients over data shards,
+    apply the same optimizer. The pipe axis must be numerically transparent.
+    """
+    model, params = _tiny_dit(depth=4)
+    hp = dict(m=2, beta=0.1, lam=1.0, w_bias=0.0)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
+    tok_transform = lambda x0: patchify_images(x0, 2)  # noqa: E731
+
+    mesh = make_pipe_mesh(pp=4)  # data=2 x pipe=4
+    dp = mesh.shape["data"]
+
+    pipe_params = to_pipeline_params(
+        jax.tree.map(jnp.copy, params), n_stages=4
+    )
+    state = TrainState.create(apply_fn=None, params=pipe_params, tx=tx)
+    state, shardings = place_train_state(
+        state, mesh, shardings=pipeline_tree_shardings(state, mesh)
+    )
+    apply = make_pipelined_apply(model, n_stages=4, n_microbatches=2)
+    step = make_sharded_train_step(
+        apply, mesh, shardings, dp_shard_map=True,
+        target_transform=tok_transform, **hp,
+    )
+
+    ref_params = jax.tree.map(jnp.copy, params)
+    ref_state = TrainState.create(
+        apply_fn=None, params=ref_params, tx=tx
+    )
+    tok_apply = lambda p, a, b, c: model.apply(p, a, b, c, method="tokens")  # noqa: E731
+    loss_fn = make_loss_fn(tok_apply, target_transform=tok_transform, **hp)
+
+    key = jax.random.PRNGKey(11)
+    batch = jax.random.normal(jax.random.PRNGKey(12), (8, 8, 8, 3))
+
+    for i in range(3):
+        k = jax.random.fold_in(key, i)
+        state, metrics = step(state, k, shard_batch(batch, mesh))
+
+        shards = np.asarray(batch).reshape(dp, -1, 8, 8, 3)
+        grads_acc, losses = None, []
+        for d in range(dp):
+            kd = jax.random.fold_in(k, d)
+            (_, md), gd = jax.value_and_grad(loss_fn, has_aux=True)(
+                ref_state.params, kd, jnp.asarray(shards[d])
+            )
+            losses.append(float(md["loss"]))
+            grads_acc = gd if grads_acc is None else jax.tree.map(
+                jnp.add, grads_acc, gd
+            )
+        grads_mean = jax.tree.map(lambda g: g / dp, grads_acc)
+        ref_state = ref_state.apply_gradients(grads=grads_mean)
+
+        np.testing.assert_allclose(
+            float(metrics["loss"]), np.mean(losses), rtol=5e-5,
+            err_msg=f"loss mismatch at step {i}",
+        )
+
+    got = from_pipeline_params(jax.device_get(state.params))
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref_state.params),
+        jax.tree_util.tree_leaves_with_path(got),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5,
+            err_msg=f"param mismatch at {pa}",
+        )

@@ -129,23 +129,43 @@ def train(args: argparse.Namespace) -> None:
     print(f"DDDMDiT: {n_params / 1e6:.2f}M params, "
           f"{jax.local_device_count()} device(s)", flush=True)
 
-    mesh = make_mesh(tp=args.tp)
+    if args.pp > 1:
+        from ddm_tpu.parallel import make_pipe_mesh, to_pipeline_params
+
+        mesh = make_pipe_mesh(pp=args.pp)
+        state_params = to_pipeline_params(params, args.pp)
+    else:
+        mesh = make_mesh(tp=args.tp)
+        state_params = params
 
     tx_parts = []
     if args.grad_clip is not None and args.grad_clip > 0:
+        # Inside the shard_map step, sharded param layouts see only LOCAL
+        # gradient slices; a plain optax global-norm clip would compute a
+        # different (wrong) norm on every shard and scale updates
+        # inconsistently. Each layout gets the axis-aware clipper.
         if args.fsdp:
-            # the plain optax clipper would norm only the LOCAL parameter
-            # shards inside the shard_map step; the FSDP variant psums
-            # sharded/replicated leaves correctly
             from ddm_tpu.parallel import (clip_by_global_norm_fsdp,
                                           fsdp_tree_shardings)
             tx_parts.append(clip_by_global_norm_fsdp(
                 args.grad_clip, fsdp_tree_shardings(params, mesh)))
+        elif args.tp > 1:
+            from ddm_tpu.parallel import MODEL_AXIS, tree_shardings
+            from ddm_tpu.parallel.fsdp import clip_by_global_norm_sharded
+            tx_parts.append(clip_by_global_norm_sharded(
+                args.grad_clip, tree_shardings(params, mesh, DIT_TP_RULES),
+                MODEL_AXIS))
+        elif args.pp > 1:
+            from ddm_tpu.parallel import PIPE_AXIS, pipeline_tree_shardings
+            from ddm_tpu.parallel.fsdp import clip_by_global_norm_sharded
+            tx_parts.append(clip_by_global_norm_sharded(
+                args.grad_clip, pipeline_tree_shardings(state_params, mesh),
+                PIPE_AXIS))
         else:
             tx_parts.append(optax.clip_by_global_norm(args.grad_clip))
     tx_parts.append(optax.adamw(args.lr, weight_decay=args.weight_decay))
     tx = optax.chain(*tx_parts)
-    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    state = TrainState.create(apply_fn=model.apply, params=state_params, tx=tx)
 
     start_epoch = 1
     if args.resume:
@@ -160,9 +180,36 @@ def train(args: argparse.Namespace) -> None:
 
         state, state_shardings = place_train_state(
             state, mesh, shardings=fsdp_tree_shardings(state, mesh))
+    elif args.pp > 1:
+        from ddm_tpu.parallel import pipeline_tree_shardings
+
+        state, state_shardings = place_train_state(
+            state, mesh, shardings=pipeline_tree_shardings(state, mesh))
     else:
         rules = DIT_TP_RULES if args.tp > 1 else REPLICATED_RULES
         state, state_shardings = place_train_state(state, mesh, rules)
+
+    def canonical_state(s: TrainState) -> TrainState:
+        """State with params in the canonical DiT tree for sampling/eval.
+
+        Pipeline layout stores params as {'embed', 'stages'} with the
+        stage stack sharded over ``pipe``; sampling and eval run the plain
+        full model, so gather the stages and re-pack to ``block_i``
+        subtrees. No-op for every other layout.
+        """
+        if args.pp <= 1:
+            return s
+        from ddm_tpu.parallel import from_pipeline_params, replicate_tree
+
+        gathered = replicate_tree(s.params)
+        if jax.process_count() > 1:
+            gathered = jax.tree.map(
+                lambda a: jnp.asarray(a.addressable_data(0))
+                if isinstance(a, jax.Array) and not a.is_fully_addressable
+                else a,
+                gathered,
+            )
+        return s.replace(params=from_pipeline_params(gathered))
 
     if args.dry_eval:
         # Rehearse the FULL evaluation protocol end-to-end with zero
@@ -181,7 +228,7 @@ def train(args: argparse.Namespace) -> None:
             batch_size=args.eval_batch, multihost=jax.process_count() > 1,
         )
         root_key, eval_key = jax.random.split(root_key)
-        metrics = evaluate(model, state, args, eval_loader,
+        metrics = evaluate(model, canonical_state(state), args, eval_loader,
                            fid_embedder, fid_stats, eval_key)
         summary = " ".join(f"{k}={v:.6f}" for k, v in sorted(metrics.items()))
         print(f"[dry-eval] {summary}", flush=True)
@@ -207,16 +254,25 @@ def train(args: argparse.Namespace) -> None:
     # invariant energy score, skips unpatchify in fwd+bwd).
     from ddm_tpu.models.dit import patchify_images
 
-    step_model = build_model(args, tp_axis="model") if args.tp > 1 else model
+    if args.pp > 1:
+        from ddm_tpu.parallel import make_pipelined_apply
 
-    def step_apply(p, xt, t, xi):
-        return step_model.apply(p, xt, t, xi, method="tokens")
+        # GPipe-staged block stack (ddm_tpu.parallel.pipeline): emits
+        # tokens like the tp/plain paths, so the same target_transform
+        # applies.
+        step_apply = make_pipelined_apply(
+            model, n_stages=args.pp, n_microbatches=args.pp_microbatches)
+    else:
+        step_model = build_model(args, tp_axis="model") if args.tp > 1 else model
+
+        def step_apply(p, xt, t, xi):
+            return step_model.apply(p, xt, t, xi, method="tokens")
 
     step_fn = make_sharded_train_step(
         step_apply, mesh, state_shardings,
         m=args.m, beta=args.beta, lam=args.lam, w_bias=args.w_bias,
         preprocess=preprocess,
-        dp_shard_map=True if (args.tp > 1 or args.fsdp) else None,
+        dp_shard_map=True if (args.tp > 1 or args.fsdp or args.pp > 1) else None,
         target_transform=lambda x0: patchify_images(x0, args.patch_size),
         fsdp=args.fsdp,
     )
@@ -341,8 +397,9 @@ def train(args: argparse.Namespace) -> None:
                 # split first so the eval sampler's internal key chain can
                 # never collide with subsequent training-step keys
                 root_key, eval_key = jax.random.split(root_key)
-                metrics = evaluate(model, state, args, eval_loader,
-                                   fid_embedder, fid_stats, eval_key)
+                metrics = evaluate(model, canonical_state(state), args,
+                                   eval_loader, fid_embedder, fid_stats,
+                                   eval_key)
                 if is_main:
                     fid_str = (f"FID={metrics['fid']:.3f} " if "fid" in metrics else "")
                     print(f"[epoch {epoch:03d}] {fid_str}MMD={metrics['mmd']:.6f}",
@@ -364,7 +421,7 @@ def train(args: argparse.Namespace) -> None:
 
     if args.sample_batch > 0:
         sample_key = jax.random.fold_in(root_key, 999)
-        sample_params = state.params
+        sample_params = canonical_state(state).params
         if args.fsdp:
             from ddm_tpu.parallel import replicate_tree
 
@@ -574,6 +631,20 @@ def build_parser() -> argparse.ArgumentParser:
                              "gradients reduce-scatter via the gather's VJP. "
                              "Cuts replicated fp32 state from 12 to 12/N "
                              "bytes/param; requires --tp 1")
+    parser.add_argument("--pp", type=int, default=1,
+                        help="pipeline-parallel stages over the 'pipe' mesh "
+                             "axis (ddm_tpu.parallel.pipeline): the DiT "
+                             "block stack is staged GPipe-style, each device "
+                             "holding depth/N blocks' weights + Adam "
+                             "moments; microbatches rotate between stages "
+                             "via ppermute. Requires --tp 1, no --fsdp, and "
+                             "--depth divisible by N")
+    parser.add_argument("--pp-microbatches", type=int, default=4,
+                        dest="pp_microbatches",
+                        help="microbatches per pipeline step; the bubble "
+                             "fraction is (pp-1)/(M+pp-1), so raise M to "
+                             "amortise it. Must divide the per-shard row "
+                             "count (batch/dp * m)")
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() for TPU pod "
                              "slices (also implied by JAX_COORDINATOR_ADDRESS)")
@@ -619,6 +690,14 @@ def main(argv: Optional[list] = None) -> None:
         parser.error("--fsdp composes with data parallelism only: the "
                      "shape-based FSDP placement conflicts with the Megatron "
                      "TP rule table (use one or the other)")
+    if args.pp > 1:
+        if args.tp > 1 or args.fsdp:
+            parser.error("--pp composes with data parallelism only "
+                         "(one of --pp / --tp / --fsdp)")
+        if args.depth % args.pp:
+            parser.error("--pp must divide --depth (equal-depth stages)")
+        if args.pp_microbatches < 1:
+            parser.error("--pp-microbatches must be >= 1")
     if args.eval_every > 0 and args.eval_samples <= 0:
         parser.error("--eval-samples must be positive when evaluation is enabled")
     if args.eval_batch <= 0:
