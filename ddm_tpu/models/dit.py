@@ -278,6 +278,13 @@ class DiTBlock(nn.Module):
     # backward. Only meaningful on widths where the in-VMEM backward kernel
     # does not fit (DiT-B+); measured ~0.43 GiB HBM per DiT-B block.
     mlp_persist: bool = False
+    # Megatron sequence parallelism (Korthikanti et al. 2022) on top of TP:
+    # the residual stream between blocks is TOKEN-sharded (B, N/tp, D); LN1
+    # runs on the local shard, an all-gather assembles the full sequence for
+    # the column-parallel matmuls, and the row-parallel partial products
+    # leave through a token psum_scatter instead of the g psum. Same comm
+    # volume as TP's two psums, but activations and LN compute scale 1/tp.
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -338,12 +345,32 @@ class DiTBlock(nn.Module):
         from ddm_tpu.ops.mlp_block import fused_mlp_partial
 
         shard = self.tp_axis is not None
-        B, N, D = x.shape
+        sp = self.sequence_parallel and shard
+        B, N, D = x.shape  # N is the LOCAL token count under sp
 
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
+        if sp:
+            from ddm_tpu.parallel.tp import tp_region_enter
+
+            # LN on the local token shard (the SP payoff: 1/tp the LN
+            # compute and no full-sequence activation on the residual
+            # path). The norm params are replicated but consumed on a
+            # token shard, so their per-shard cotangents are partial —
+            # f-wrap reassembles them.
+            s1, b1 = _LNParams(self.dim, name="norm1")()
+            h = _layernorm(
+                x,
+                tp_region_enter(s1, self.tp_axis),
+                tp_region_enter(b1, self.tp_axis),
+            ).astype(self.dtype)
+            # gather the full sequence for the column-parallel q/k/v; the
+            # gather transpose (psum_scatter) owns dL/dh reassembly.
+            h = jax.lax.all_gather(h, self.tp_axis, axis=1, tiled=True)
+        else:
+            h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(self.dtype)
         x = _TPAttention(
             self.dim, self.num_heads, tp=self.tp, tp_axis=self.tp_axis,
-            dtype=self.dtype, attention_impl=self.attention_impl, name="attn",
+            dtype=self.dtype, attention_impl=self.attention_impl,
+            sequence_parallel=sp, name="attn",
         )(h, x)
 
         hidden = int(self.dim * self.mlp_ratio)
@@ -351,6 +378,31 @@ class DiTBlock(nn.Module):
         s2, b2 = _LNParams(self.dim, name="norm2")()
         w1, bb1 = _DenseParams(self.dim, hidden_local, name="ff_in")()
         w2, bb2 = _DenseParams(hidden_local, self.dim, name="ff_out")()
+
+        if sp:
+            from ddm_tpu.parallel.tp import tp_region_enter
+
+            # Gather the token-sharded residual PRE-LN and let the fused
+            # partial kernel normalise the full rows in-kernel (redundantly
+            # per shard, like TP) — keeps the single-kernel MLP half-block.
+            # LN-param and output-bias cotangents are per-token-shard
+            # partials: f-wrap them; the two gathers' transposes handle the
+            # activation cotangents.
+            xg = jax.lax.all_gather(x, self.tp_axis, axis=1, tiled=True)
+            nf = xg.shape[1]
+            part = fused_mlp_partial(
+                xg.astype(self.dtype).reshape(B * nf, D),
+                tp_region_enter(s2, self.tp_axis),
+                tp_region_enter(b2, self.tp_axis),
+                w1, bb1, w2,
+            )
+            part = jax.lax.psum_scatter(
+                part.reshape(B, nf, D), self.tp_axis,
+                scatter_dimension=1, tiled=True,
+            )
+            bb2 = tp_region_enter(bb2, self.tp_axis)
+            out = (x.astype(jnp.float32) + part + bb2).astype(self.dtype)
+            return out
 
         rows = x.astype(self.dtype).reshape(B * N, D)
         if shard:
@@ -416,6 +468,14 @@ class DDDMDiT(nn.Module):
     # full weights (init / sampling / replicated oracle).
     tp: int = 1
     tp_axis: Optional[str] = None
+    # Megatron sequence parallelism on top of TP (DiTBlock.sequence_parallel):
+    # between blocks the residual stream is token-sharded (B, N/tp, D) over
+    # the model axis; the embed output enters through an f-wrapped token
+    # slice and the last block's output leaves through sp_region_exit
+    # (all-gather forward, slice-own-shard backward). Activation memory and
+    # LN compute in the block stack scale 1/tp at identical comm volume.
+    # Inert when tp_axis is None (init / sampling / replicated oracle).
+    sequence_parallel: bool = False
 
     def setup(self):
         if self.img_size % self.patch_size != 0:
@@ -431,6 +491,14 @@ class DDDMDiT(nn.Module):
                 )
         grid = self.img_size // self.patch_size
         self.num_patches = grid * grid
+        if self.sequence_parallel:
+            if self.tp <= 1:
+                raise ValueError("sequence_parallel requires tp > 1")
+            if self.num_patches % self.tp:
+                raise ValueError(
+                    f"sequence_parallel needs the token count "
+                    f"({self.num_patches}) divisible by tp={self.tp}"
+                )
         self.patch_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="patch_proj")
         self.pos_embed = self.param(
             "pos_embed",
@@ -460,6 +528,7 @@ class DDDMDiT(nn.Module):
                 tp=self.tp,
                 tp_axis=self.tp_axis,
                 mlp_persist=i < self.mlp_persist_blocks,
+                sequence_parallel=self.sequence_parallel,
                 name=f"block_{i}",
             )
             for i in range(self.depth)
@@ -501,8 +570,25 @@ class DDDMDiT(nn.Module):
         after the same bf16 rounding.
         """
         h = self.embed_tokens(xt, t, xi)
+        sp = self.sequence_parallel and self.tp_axis is not None
+        if sp:
+            from ddm_tpu.parallel.tp import tp_region_enter
+
+            # Enter the token-sharded region: the embed output is
+            # replicated over the model axis but each shard consumes only
+            # its token block, so f-wrap (psum backward) BEFORE the slice —
+            # the slice transpose zero-pads and the psum reassembles the
+            # full cotangent, keeping the replicated embed grads correct.
+            nl = self.num_patches // self.tp
+            h = tp_region_enter(h, self.tp_axis)
+            i = jax.lax.axis_index(self.tp_axis)
+            h = jax.lax.dynamic_slice_in_dim(h, i * nl, nl, 1)
         for block in self.blocks:
             h = block(h)
+        if sp:
+            from ddm_tpu.parallel.tp import sp_region_exit
+
+            h = sp_region_exit(h, self.tp_axis, 1)
         return self.head_tokens(h)
 
     def embed_tokens(

@@ -39,6 +39,7 @@ MODEL_DEFAULTS: dict = {
     "attention": "auto",
     "remat": False,
     "tp": 1,
+    "sp": False,
     "mlp_persist": 0,
 }
 
@@ -92,5 +93,6 @@ def build_model(cfg: Any, tp_axis: Optional[str] = None) -> DDDMDiT:
         remat=bool(get("remat")),
         tp=int(get("tp")),
         tp_axis=tp_axis,
+        sequence_parallel=bool(get("sp")) and int(get("tp")) > 1,
         mlp_persist_blocks=int(get("mlp_persist")),
     )

@@ -34,7 +34,7 @@ import functools
 
 import jax
 
-__all__ = ["tp_region_enter", "tp_region_exit"]
+__all__ = ["tp_region_enter", "tp_region_exit", "sp_region_exit"]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -69,3 +69,41 @@ def _exit_bwd(axis_name: str, _, ct):
 
 
 tp_region_exit.defvjp(_exit_fwd, _exit_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def sp_region_exit(x, axis_name: str, axis: int = 1):
+    """Sequence-parallel exit: all-gather forward / slice-own-shard backward.
+
+    Leaves a Megatron-SP region (token-sharded residual stream) into
+    replicated downstream compute (final norm, unembed, loss — all computed
+    identically on every model shard). The raw ``jax.lax.all_gather``
+    transpose is ``psum_scatter``, which is correct only when each shard's
+    cotangent is a *partial* contribution; here the downstream is
+    replicated, so every shard already holds the FULL cotangent and the
+    psum_scatter would over-count it ``tp``-fold (measured exactly tp x on
+    the 4-device harness). The correct transpose is therefore to take back
+    only this shard's own token slice — the conjugate of
+    :func:`tp_region_exit` for gathers instead of psums.
+
+    Entering an SP region from replicated activations needs no new
+    operator: wrap with :func:`tp_region_enter` (f) and ``dynamic_slice``
+    the local token block — the slice transpose zero-pads and the f psum
+    reassembles the full cotangent.
+    """
+    return jax.lax.all_gather(x, axis_name, axis=axis, tiled=True)
+
+
+def _sp_exit_fwd(x, axis_name: str, axis: int):
+    return (
+        jax.lax.all_gather(x, axis_name, axis=axis, tiled=True),
+        x.shape[axis],
+    )
+
+
+def _sp_exit_bwd(axis_name: str, axis: int, n_local, ct):
+    i = jax.lax.axis_index(axis_name)
+    return (jax.lax.dynamic_slice_in_dim(ct, i * n_local, n_local, axis),)
+
+
+sp_region_exit.defvjp(_sp_exit_fwd, _sp_exit_bwd)

@@ -257,3 +257,37 @@ def test_cifar_cli_pp_validation(capsys):
     with pytest.raises(SystemExit):
         cifar_cli.main(["--pp", "3", "--depth", "8"])
     assert "--pp must divide --depth" in capsys.readouterr().err
+
+
+def test_cifar_cli_sequence_parallel(tmp_path, monkeypatch):
+    """--tp 2 --sp end-to-end: sequence-parallel training epoch + sampling
+    on the virtual 8-device mesh (data=4 x model=2). Exercises the
+    token-sharded block stack inside the shard_map step plus the plain
+    (full-weight, SP-inert) instance for sampling."""
+    import ddm_tpu.models.inception as inception_mod
+
+    def _raise(*a, **k):
+        raise RuntimeError("no inception in tests")
+
+    monkeypatch.setattr(inception_mod, "InceptionEmbedding", _raise)
+    cifar_cli.main([
+        "--synthetic", "--epochs", "1", "--batch", "16",
+        "--embed-dim", "64", "--depth", "2", "--heads", "2",
+        "--time-embed", "16", "--m", "2", "--tp", "2", "--sp",
+        "--sample-batch", "4", "--sample-steps", "2", "--eval-every", "0",
+        "--ckpt-every", "1", "--dtype", "float32", "--out", str(tmp_path),
+    ])
+    for artifact in ("model_final.ckpt", "samples.png", "config.json"):
+        assert (tmp_path / artifact).exists(), artifact
+    with open(tmp_path / "config.json") as f:
+        assert json.load(f)["sp"] is True
+
+
+def test_cifar_cli_sp_validation(capsys):
+    with pytest.raises(SystemExit):
+        cifar_cli.main(["--sp"])
+    assert "requires --tp > 1" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        cifar_cli.main(["--sp", "--tp", "6", "--image-size", "16",
+                        "--patch-size", "4"])  # 16 tokens % 6 != 0
+    assert "divisible" in capsys.readouterr().err

@@ -207,19 +207,21 @@ def test_dp_tp_train_step_runs_and_matches():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=2e-5)
 
 
-def _tp_dit_pair(tp: int):
+def _tp_dit_pair(tp: int, sp: bool = False):
     """(full, local) DDDMDiT instances sharing one param tree.
 
     embed_dim=256 / heads=4 so the LOCAL shard shapes (D/tp = 128,
     Dh = 64, hidden/tp = 512) satisfy the Pallas kernel lane gating — the
-    configuration the kernel-activity assertion depends on.
+    configuration the kernel-activity assertion depends on. ``sp`` puts the
+    LOCAL instance in sequence-parallel mode (token-sharded residual
+    stream); the param tree is unchanged.
     """
     kw = dict(
         img_size=8, patch_size=2, embed_dim=256, depth=2, num_heads=4,
         time_embed_dim=16, data_format="NHWC", dtype=jnp.float32,
     )
     full = DDDMDiT(tp=tp, tp_axis=None, **kw)
-    local = DDDMDiT(tp=tp, tp_axis="model", **kw)
+    local = DDDMDiT(tp=tp, tp_axis="model", sequence_parallel=sp, **kw)
     xt = jnp.zeros((1, 8, 8, 3))
     params = full.init(jax.random.PRNGKey(0), xt, jnp.zeros((1,)), xt)
     return full, local, params
@@ -369,6 +371,98 @@ def test_tp_shard_map_engaged_grad_clip_matches_oracle():
     step = make_sharded_train_step(local.apply, mesh, shardings,
                                    dp_shard_map=True, **hp)
     state, m_tp = step(state, key, shard_batch(batch, mesh))
+
+    loss_fn = make_loss_fn(full.apply, **hp)
+    ref = TrainState.create(
+        apply_fn=full.apply, params=jax.tree.map(jnp.copy, params),
+        tx=optax.chain(optax.clip_by_global_norm(clip), optax.adam(1e-3)),
+    )
+    shards = batch.reshape(4, 2, 8, 8, 3)
+    acc = None
+    for i in range(4):
+        ki = jax.random.fold_in(key, i)
+        (_, _), gi = jax.value_and_grad(loss_fn, has_aux=True)(
+            ref.params, ki, shards[i]
+        )
+        acc = gi if acc is None else jax.tree.map(jnp.add, acc, gi)
+    ref = ref.apply_gradients(grads=jax.tree.map(lambda g: g / 4, acc))
+
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref.params)[0],
+        jax.tree_util.tree_flatten_with_path(state.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
+def test_sp_forward_matches_full_model():
+    """Sequence-parallel shard_map forward == full-model oracle.
+
+    Exercises the whole SP data path: f-wrapped token slice after the
+    embed, per-block LN-on-local-tokens -> all_gather -> column-parallel
+    attention -> token psum_scatter, the gathered MLP partial, and
+    sp_region_exit before the head.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    full, sp_local, params = _tp_dit_pair(tp=2, sp=True)
+    xt = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 8, 3))
+    xi = jax.random.normal(jax.random.PRNGKey(2), (8, 8, 8, 3))
+    t = jnp.full((8,), 0.4)
+    want = full.apply(params, xt, t, xi)
+
+    mesh = make_mesh(tp=2)
+    specs = jax.tree.map(
+        lambda s: s.spec, tree_shardings(params, mesh, DIT_TP_RULES)
+    )
+    fwd = shard_map(
+        sp_local.apply, mesh=mesh,
+        in_specs=(specs, P("data"), P("data"), P("data")),
+        out_specs=P("data"), check_vma=False,
+    )
+    got = fwd(params, xt, t, xi)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_sp_train_step_matches_oracle():
+    """DP x TP sequence-parallel training step with an ENGAGED global-norm
+    clip == manual full-model oracle: every updated param leaf equal.
+
+    The gradient path crosses every SP boundary operator — the f-wrapped
+    embed slice (replicated embed/time/pos grads must be full, not
+    1/tp-partial), the raw all_gather/psum_scatter pairs inside the blocks
+    (transpose-correct per se), the f-wrapped LN/bias params consumed on
+    token shards, and sp_region_exit's slice-own-shard backward (a raw
+    gather here would over-count every cotangent tp-fold).
+    """
+    from ddm_tpu.parallel import MODEL_AXIS, clip_by_global_norm_sharded
+    from ddm_tpu.training import make_loss_fn
+
+    full, sp_local, params = _tp_dit_pair(tp=2, sp=True)
+    hp = dict(m=2, beta=0.1, lam=1.0, w_bias=0.0)
+    key = jax.random.PRNGKey(5)
+    batch = jax.random.normal(jax.random.PRNGKey(6), (8, 8, 8, 3))
+    clip = 1e-3  # far below the init grad norm so the clip ALWAYS engages
+
+    mesh = make_mesh(tp=2)
+    tx_tp = optax.chain(
+        clip_by_global_norm_sharded(
+            clip, tree_shardings(params, mesh, DIT_TP_RULES), MODEL_AXIS),
+        optax.adam(1e-3),
+    )
+    state = TrainState.create(
+        apply_fn=sp_local.apply, params=jax.tree.map(jnp.copy, params),
+        tx=tx_tp,
+    )
+    state, shardings = place_train_state(state, mesh, DIT_TP_RULES)
+    step = make_sharded_train_step(sp_local.apply, mesh, shardings,
+                                   dp_shard_map=True, **hp)
+    state, m_sp = step(state, key, shard_batch(batch, mesh))
 
     loss_fn = make_loss_fn(full.apply, **hp)
     ref = TrainState.create(

@@ -591,6 +591,16 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"], help="compute dtype")
     parser.add_argument("--tp", type=int, default=MODEL_DEFAULTS["tp"],
                         help="tensor-parallel degree over the 'model' mesh axis")
+    parser.add_argument("--sp", action="store_true",
+                        help="Megatron sequence parallelism on top of --tp: "
+                             "the residual stream between DiT blocks is "
+                             "token-sharded over the model axis (LN on local "
+                             "tokens, all-gather before the column-parallel "
+                             "matmuls, token reduce-scatter after the "
+                             "row-parallel ones). Same comm volume as plain "
+                             "TP; block activations and LN compute scale "
+                             "1/tp. Requires --tp > 1 and token count "
+                             "divisible by tp")
     parser.add_argument("--attention", type=str,
                         default=MODEL_DEFAULTS["attention"],
                         choices=["auto", "xla", "flash"], help="attention impl")
@@ -686,6 +696,14 @@ def main(argv: Optional[list] = None) -> None:
         if args.embed_dim % args.tp or args.heads % args.tp or hidden % args.tp:
             parser.error("--tp must divide --embed-dim, --heads, and the MLP "
                          "hidden size")
+    if args.sp:
+        if args.tp <= 1:
+            parser.error("--sp (sequence parallelism) rides the model axis: "
+                         "it requires --tp > 1")
+        n_tokens = (args.image_size // args.patch_size) ** 2
+        if n_tokens % args.tp:
+            parser.error(f"--sp needs the token count ({n_tokens}) divisible "
+                         f"by --tp ({args.tp})")
     if args.fsdp and args.tp > 1:
         parser.error("--fsdp composes with data parallelism only: the "
                      "shape-based FSDP placement conflicts with the Megatron "
