@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Convert a reference (PyTorch) checkpoint into a ddm_tpu checkpoint.
+
+Migration path for users of the reference implementation: their trained
+``model.pt`` / ``model_final.pt`` (payload ``{"model": state_dict,
+"config": ...}``, see ``/root/reference/dddm/training.py:168`` and
+``train_cifar10_dit.py:32-37``) becomes a ``.ckpt`` that ``generate.py``
+and the library loaders consume directly — no retraining.
+
+Usage:
+    python scripts/convert_reference_ckpt.py model_final.pt out.ckpt
+    python generate.py --ckpt out.ckpt --n 64 --out samples.png
+
+Architecture (DiT vs toy MLP) is detected from the state_dict keys; the
+embedded reference config rides along (its CLI arg names already match
+``ddm_tpu.models.factory``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("src", help="reference .pt checkpoint (torch.save payload)")
+    p.add_argument("dst", help="output .ckpt path (ddm_tpu msgpack format)")
+    args = p.parse_args(argv)
+
+    from ddm_tpu.utils.checkpoint import save_checkpoint
+    from ddm_tpu.utils.convert import load_reference_checkpoint
+
+    variables, config = load_reference_checkpoint(args.src)
+    n_leaves = sum(
+        1 for _ in __import__("jax").tree.leaves(variables)
+    )
+    save_checkpoint(args.dst, variables, config)
+    arch = "DDDMDiT" if "patch_proj" in variables["params"] else "DDDMMLP"
+    print(f"converted {arch} ({n_leaves} tensors) -> {args.dst}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
