@@ -126,29 +126,32 @@ def combine_fsdp_grads(grads: Any, shardings: Any, dp: int) -> Any:
 
 
 def clip_by_global_norm_sharded(max_norm: float, param_shardings: Any,
-                                axis: str = DATA_AXIS):
-    """``optax.clip_by_global_norm`` for gradients sharded over a mesh axis.
+                                axis="data"):
+    """``optax.clip_by_global_norm`` for gradients sharded over mesh axes.
 
-    Must run inside the ``shard_map`` step (it psums over ``axis``). A leaf
-    whose PartitionSpec names ``axis`` holds a *disjoint slice* of the true
-    gradient on each shard (local squared sums add up to the total); every
-    other leaf is *identical* on all N shards of that axis (a psum would
-    count it N times, so it is pre-divided by N). The true global squared
-    norm is therefore::
+    Must run inside the ``shard_map`` step (it psums over ``axis`` — a
+    single axis name or a sequence of them). Per axis ``a`` of size ``N_a``:
+    a leaf whose PartitionSpec names ``a`` holds a *disjoint slice* of the
+    true gradient along it (local squared sums add up to the total); a leaf
+    that does NOT name ``a`` is *identical* on all ``N_a`` shards of that
+    axis (a psum would count it ``N_a`` times, so its squared sum is
+    pre-divided by ``N_a``). The true global squared norm is therefore::
 
-        psum_axis( sum_sharded |g_local|^2  +  sum_replicated |g|^2 / N )
+        psum_axes( sum |g_local|^2 / prod_{a not sharding g} N_a )
 
-    This covers all three sharded-gradient layouts in the framework —
-    ZeRO-3 FSDP (``axis='data'``; leaves sharded by
-    :func:`fsdp_tree_shardings`), Megatron tensor parallelism
-    (``axis='model'``; attention/MLP weight grads are local column/row
-    slices), and pipeline parallelism (``axis='pipe'``; the stacked
-    ``stages`` grads are local stage slices). Gradients over any *other*
-    mesh axis must already be reduced (the step pmeans over ``data``
-    before the optimizer runs), so a single-axis psum suffices.
+    This covers every sharded-gradient layout in the framework — ZeRO-3
+    FSDP (``axis='data'``; leaves sharded by :func:`fsdp_tree_shardings`),
+    Megatron tensor parallelism (``axis='model'``; attention/MLP weight
+    grads are local column/row slices), pipeline parallelism
+    (``axis='pipe'``; the stacked ``stages`` grads are local stage slices),
+    and their composition (``axis=('pipe', 'model')``; stage weight grads
+    are sharded over both, stage norms/biases over pipe only, embed/head
+    over neither). Gradients over any *other* mesh axis must already be
+    reduced (the step pmeans over ``data`` before the optimizer runs).
     Semantics match ``optax.clip_by_global_norm``: updates are scaled by
     ``max_norm / norm`` only when ``norm`` exceeds ``max_norm``.
     """
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
 
     def init_fn(params):
         del params
@@ -156,22 +159,25 @@ def clip_by_global_norm_sharded(max_norm: float, param_shardings: Any,
 
     def update_fn(updates, state, params=None):
         del params
-        n = jax.lax.psum(1.0, axis)
+        sizes = {a: jax.lax.psum(1.0, a) for a in axes}
 
-        def is_sharded(spec: P) -> bool:
+        def names_axis(spec: P, a: str) -> bool:
             return any(
-                s == axis or (isinstance(s, tuple) and axis in s)
+                s == a or (isinstance(s, tuple) and a in s)
                 for s in spec if s is not None
             )
 
         def leaf_sq(g, sh):
             s = jnp.sum(jnp.square(g.astype(jnp.float32)))
-            return s if is_sharded(sh.spec) else s / n
+            for a in axes:
+                if not names_axis(sh.spec, a):
+                    s = s / sizes[a]
+            return s
 
         sq = jax.tree.reduce(
             jnp.add, jax.tree.map(leaf_sq, updates, param_shardings)
         )
-        g_norm = jnp.sqrt(jax.lax.psum(sq, axis))
+        g_norm = jnp.sqrt(jax.lax.psum(sq, axes))
         scale = jnp.where(g_norm < max_norm, 1.0, max_norm / g_norm)
         return jax.tree.map(lambda g: g * scale, updates), state
 

@@ -43,8 +43,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS
-from .tp import tp_region_enter, tp_region_exit
+from .mesh import DATA_AXIS, MODEL_AXIS
+from .sharding import DIT_TP_RULES, spec_for_path
+from .tp import sp_region_exit, tp_region_enter, tp_region_exit
 
 __all__ = [
     "PIPE_AXIS",
@@ -63,23 +64,27 @@ PIPE_AXIS = "pipe"
 def make_pipe_mesh(
     pp: int,
     dp: Optional[int] = None,
+    tp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a 2-D ``(data, pipe)`` mesh.
+    """Build a ``(data, pipe)`` mesh, or ``(data, pipe, model)`` at tp > 1.
 
-    The ``pipe`` axis is trailing (fastest-varying) so consecutive stages map
-    to nearest-neighbour ICI links, which carry the per-tick activation
-    rotation.
+    ``model`` is trailing (fastest-varying) so the per-block Megatron
+    collectives ride nearest-neighbour ICI links; ``pipe`` is next, so
+    consecutive stages stay adjacent for the per-tick activation rotation.
     """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     if dp is None:
-        if n % pp != 0:
-            raise ValueError(f"{n} devices not divisible by pp={pp}")
-        dp = n // pp
-    if dp * pp != n:
-        raise ValueError(f"dp*pp = {dp * pp} != {n} devices")
+        if n % (pp * tp) != 0:
+            raise ValueError(f"{n} devices not divisible by pp*tp={pp * tp}")
+        dp = n // (pp * tp)
+    if dp * pp * tp != n:
+        raise ValueError(f"dp*pp*tp = {dp * pp * tp} != {n} devices")
+    if tp > 1:
+        arr = np.asarray(devices).reshape(dp, pp, tp)
+        return Mesh(arr, (DATA_AXIS, PIPE_AXIS, MODEL_AXIS))
     arr = np.asarray(devices).reshape(dp, pp)
     return Mesh(arr, (DATA_AXIS, PIPE_AXIS))
 
@@ -142,22 +147,33 @@ def to_pipeline_params(variables: Dict[str, Any], n_stages: int) -> Dict[str, An
 
 
 def from_pipeline_params(pipe_params: Dict[str, Any]) -> Dict[str, Any]:
-    """Pipeline param tree -> canonical DiT variables (for checkpoints)."""
+    """Pipeline param tree -> canonical DiT variables (checkpoints, eval).
+
+    Leaves keep their array type: replicated ``jax.Array``s stay on device
+    (the per-eval canonicalisation must not round-trip the model through
+    host memory), numpy stays numpy (the checkpoint-load path).
+    """
     stages = pipe_params["stages"]
     s, l = jax.tree.leaves(stages)[0].shape[:2]
     stacked = jax.tree.map(
-        lambda a: np.asarray(a).reshape((s * l,) + a.shape[2:]), stages
+        lambda a: a.reshape((s * l,) + a.shape[2:]), stages
     )
     return merge_block_params(pipe_params["embed"], stacked)
 
 
 def pipeline_tree_shardings(tree: Any, mesh: Mesh) -> Any:
     """Shardings for a pipeline TrainState: ``stages`` leaves ``P('pipe')``
-    on their leading axis, everything else replicated.
+    on their leading (stage) axis, everything else replicated.
+
+    When the mesh carries a ``model`` axis (PP x TP composition), the
+    Megatron rule table additionally shards the stage weights' column/row
+    dims — a stacked qkv kernel ``(S, L, D, 3D)`` becomes
+    ``P('pipe', None, None, 'model')``.
 
     Works for the whole TrainState because Adam's moments mirror the param
     tree (same ``stages``/``embed`` key structure).
     """
+    tp = mesh.shape.get(MODEL_AXIS, 1)
 
     def leaf_sharding(path, leaf):
         in_stages = any(
@@ -165,6 +181,14 @@ def pipeline_tree_shardings(tree: Any, mesh: Mesh) -> Any:
         )
         ndim = getattr(leaf, "ndim", 0)
         if in_stages and ndim >= 1:
+            if tp > 1:
+                parts = [
+                    str(getattr(p, "key", getattr(p, "name", p)))
+                    for p in path
+                ]
+                inner = spec_for_path("/".join(parts), DIT_TP_RULES)
+                if len(inner) + 2 <= ndim:
+                    return NamedSharding(mesh, P(PIPE_AXIS, None, *inner))
             return NamedSharding(mesh, P(PIPE_AXIS))
         return NamedSharding(mesh, P())
 
@@ -184,24 +208,52 @@ def make_pipelined_apply(model, n_stages: int, n_microbatches: int):
 
     The per-shard row count (``B*m`` after the training step's m-expansion)
     must be divisible by ``n_microbatches``.
+
+    Composes with the model's own tensor/sequence parallelism: ``model.tp``
+    / ``model.tp_axis`` put the Megatron layout inside each stage's blocks
+    (collectives over ``model``, orthogonal to the ``pipe`` rotation), and
+    ``model.sequence_parallel`` token-shards the rotating activations —
+    the SP enter (f + slice) runs once after the embed, the blocks keep
+    the residual stream token-sharded through every stage, and
+    :func:`~ddm_tpu.parallel.tp.sp_region_exit` re-gathers before the head.
     """
+    from flax import linen as nn
+
     from ddm_tpu.models.dit import DiTBlock
 
-    block = DiTBlock(
+    # Honour the model's remat setting: PP targets exactly the deep/wide
+    # regime where block rematerialisation matters, and the staged scan
+    # otherwise saves every tick's activations. (mlp_persist is rejected
+    # at the CLI: the per-block-index hybrid doesn't map onto the single
+    # shared block module a stacked scan runs.)
+    block_cls = nn.remat(DiTBlock) if model.remat else DiTBlock
+    block = block_cls(
         model.embed_dim,
         model.num_heads,
         model.mlp_ratio,
         dtype=model.dtype,
         attention_impl=model.attention_impl,
         fused_mlp=model.fused_mlp,
+        tp=model.tp,
+        tp_axis=model.tp_axis,
+        sequence_parallel=model.sequence_parallel,
     )
     S = n_stages
     M = n_microbatches
     perm = [(i, (i + 1) % S) for i in range(S)]
+    sp = model.sequence_parallel and model.tp_axis is not None
 
     def apply(pipe_params, xt, t, xi):
         h = model.apply(pipe_params["embed"], xt, t, xi,
                         method="embed_tokens")
+        if sp:
+            # enter the token-sharded region once, before microbatching:
+            # f-wrap (psum over model backward) then slice this model
+            # shard's token block — same operators as DDDMDiT.tokens
+            nl = h.shape[1] // model.tp
+            h = tp_region_enter(h, model.tp_axis)
+            si = jax.lax.axis_index(model.tp_axis)
+            h = jax.lax.dynamic_slice_in_dim(h, si * nl, nl, 1)
         B, N, D = h.shape
         if B % M:
             raise ValueError(
@@ -253,8 +305,11 @@ def make_pipelined_apply(model, n_stages: int, n_microbatches: int):
         # correct because the downstream loss is replicated over pipe.
         mask = (s_idx == S - 1).astype(out.dtype)
         out = tp_region_exit(out * mask, PIPE_AXIS)
+        out = out.reshape(B, N, D)
+        if sp:
+            out = sp_region_exit(out, model.tp_axis, 1)
         return model.apply(
-            pipe_params["embed"], out.reshape(B, N, D), method="head_tokens"
+            pipe_params["embed"], out, method="head_tokens"
         )
 
     return apply

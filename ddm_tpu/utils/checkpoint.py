@@ -95,13 +95,25 @@ def load_params(path: str) -> Tuple[Any, Dict]:
     inference-only consumers (``generate.py``) that have no TrainState
     template to restore into; the returned nested plain dict is directly
     consumable by ``model.apply``.
+
+    Pipeline-parallel runs (``--pp``) checkpoint their TrainState in the
+    staged ``{'embed', 'stages'}`` layout (the optimizer state mirrors it,
+    which is what exact resume needs); inference consumers want the
+    canonical ``block_i`` tree, so that layout is detected and re-packed
+    here — any ``.ckpt`` loads into the plain model regardless of the
+    parallelism that trained it.
     """
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
             raise ValueError(f"{path} is not a ddm_tpu checkpoint")
         payload = serialization.msgpack_restore(f.read())
-    return payload["params"], json.loads(payload["config_json"])
+    params = payload["params"]
+    if isinstance(params, dict) and set(params.keys()) == {"embed", "stages"}:
+        from ddm_tpu.parallel.pipeline import from_pipeline_params
+
+        params = from_pipeline_params(params)
+    return params, json.loads(payload["config_json"])
 
 
 def restore_train_state(path: str, state: Any) -> Tuple[Any, Dict]:

@@ -145,7 +145,9 @@ def mlp_params_from_reference(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return {"params": params}
 
 
-def load_reference_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict]:
+def load_reference_checkpoint(
+    path: str, allow_pickle: bool = False
+) -> Tuple[Dict[str, Any], Dict]:
     """Load a reference ``.pt`` checkpoint -> ``(variables, config)``.
 
     Accepts both reference payload shapes — ``{"model": state_dict,
@@ -153,10 +155,27 @@ def load_reference_checkpoint(path: str) -> Tuple[Dict[str, Any], Dict]:
     architecture from the keys (``patch_embed.*`` -> DiT, ``net.*`` ->
     toy MLP). The config comes back as a plain dict whose keys already
     match :mod:`ddm_tpu.models.factory` expectations.
+
+    Deserialisation is ``weights_only=True`` by default (tensors + plain
+    containers only — covers the CIFAR path, whose config is
+    ``vars(args)``). The toy path embeds a ``TrainConfig`` *object*, which
+    needs full pickle; that executes arbitrary code from the file, so it
+    requires an explicit ``allow_pickle=True`` opt-in for checkpoints you
+    trust.
     """
     import torch  # lazy: only the .pt deserialisation needs it
 
-    payload = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        payload = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:  # noqa: BLE001 - torch raises various pickle errors
+        if not allow_pickle:
+            raise ValueError(
+                f"{path} needs full pickle deserialisation (e.g. the toy "
+                "path's embedded TrainConfig object). Pickle executes "
+                "arbitrary code from the file - pass allow_pickle=True "
+                "(CLI: --allow-pickle) ONLY for checkpoints you trust."
+            ) from e
+        payload = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(payload, dict) and "model" in payload:
         sd, config = payload["model"], payload.get("config", {})
     else:

@@ -26,15 +26,21 @@ def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("src", help="reference .pt checkpoint (torch.save payload)")
     p.add_argument("dst", help="output .ckpt path (ddm_tpu msgpack format)")
+    p.add_argument("--allow-pickle", action="store_true",
+                   help="permit full pickle deserialisation (needed for the "
+                        "toy path's embedded TrainConfig object; executes "
+                        "code from the file - trusted checkpoints only)")
     args = p.parse_args(argv)
+
+    import jax
 
     from ddm_tpu.utils.checkpoint import save_checkpoint
     from ddm_tpu.utils.convert import load_reference_checkpoint
 
-    variables, config = load_reference_checkpoint(args.src)
-    n_leaves = sum(
-        1 for _ in __import__("jax").tree.leaves(variables)
+    variables, config = load_reference_checkpoint(
+        args.src, allow_pickle=args.allow_pickle
     )
+    n_leaves = len(jax.tree.leaves(variables))
     save_checkpoint(args.dst, variables, config)
     arch = "DDDMDiT" if "patch_proj" in variables["params"] else "DDDMMLP"
     print(f"converted {arch} ({n_leaves} tensors) -> {args.dst}")

@@ -4,6 +4,7 @@ import argparse
 import json
 import sys
 
+import numpy as np
 import pytest
 
 import run_example as toy_cli
@@ -249,14 +250,35 @@ def test_cifar_cli_pipeline_parallel(tmp_path, monkeypatch):
         ev = json.load(f)
     assert "mmd" in ev and len(ev["epoch"]) == 1
 
+    # a --pp checkpoint (staged {'embed','stages'} layout on disk) must
+    # load into the PLAIN model for inference: load_params re-packs it
+    import generate as gen_cli
+
+    npz = tmp_path / "pp_samples.npz"
+    gen_cli.main([
+        "--ckpt", str(tmp_path / "model_final.ckpt"), "--n", "2",
+        "--batch", "2", "--steps", "2", "--out", "", "--npz", str(npz),
+    ])
+    assert np.load(npz)["samples"].shape == (2, 32, 32, 3)
+
 
 def test_cifar_cli_pp_validation(capsys):
     with pytest.raises(SystemExit):
-        cifar_cli.main(["--pp", "2", "--tp", "2"])
-    assert "--pp composes with data parallelism only" in capsys.readouterr().err
+        cifar_cli.main(["--pp", "2", "--fsdp"])
+    assert "--pp does not compose with --fsdp" in capsys.readouterr().err
     with pytest.raises(SystemExit):
         cifar_cli.main(["--pp", "3", "--depth", "8"])
     assert "--pp must divide --depth" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        cifar_cli.main(["--pp", "2", "--mlp-persist", "4"])
+    assert "--mlp-persist does not compose" in capsys.readouterr().err
+    with pytest.raises(SystemExit):  # 8 virtual devices: pp=2 -> dp=4
+        cifar_cli.main(["--pp", "2", "--batch", "30"])
+    assert "data shards" in capsys.readouterr().err
+    with pytest.raises(SystemExit):  # rows = 32/4*8 = 64, not / 3
+        cifar_cli.main(["--pp", "2", "--batch", "32",
+                        "--pp-microbatches", "3"])
+    assert "per-shard row count" in capsys.readouterr().err
 
 
 def test_cifar_cli_sequence_parallel(tmp_path, monkeypatch):
@@ -291,3 +313,34 @@ def test_cifar_cli_sp_validation(capsys):
         cifar_cli.main(["--sp", "--tp", "6", "--image-size", "16",
                         "--patch-size", "4"])  # 16 tokens % 6 != 0
     assert "divisible" in capsys.readouterr().err
+
+
+def test_cifar_cli_3d_parallel(tmp_path, monkeypatch):
+    """--pp 2 --tp 2 --sp end-to-end on the 8-device mesh (data=2 x pipe=2
+    x model=2): 3-D staged training + checkpoint + sampling, then
+    generate.py from the staged checkpoint."""
+    import ddm_tpu.models.inception as inception_mod
+
+    def _raise(*a, **k):
+        raise RuntimeError("no inception in tests")
+
+    monkeypatch.setattr(inception_mod, "InceptionEmbedding", _raise)
+    cifar_cli.main([
+        "--synthetic", "--epochs", "1", "--batch", "8",
+        "--embed-dim", "64", "--depth", "2", "--heads", "2",
+        "--time-embed", "16", "--m", "2", "--pp", "2", "--tp", "2", "--sp",
+        "--pp-microbatches", "2", "--sample-batch", "4",
+        "--sample-steps", "2", "--eval-every", "0", "--ckpt-every", "1",
+        "--dtype", "float32", "--out", str(tmp_path),
+    ])
+    for artifact in ("model_final.ckpt", "samples.png", "config.json"):
+        assert (tmp_path / artifact).exists(), artifact
+
+    import generate as gen_cli
+
+    npz = tmp_path / "s3d.npz"
+    gen_cli.main([
+        "--ckpt", str(tmp_path / "model_final.ckpt"), "--n", "2",
+        "--batch", "2", "--steps", "2", "--out", "", "--npz", str(npz),
+    ])
+    assert np.load(npz)["samples"].shape == (2, 32, 32, 3)

@@ -234,3 +234,20 @@ def test_bare_state_dict_detection(tmp_path):
     torch.save(sd, src)
     variables, cfg = load_reference_checkpoint(str(src))
     assert "Dense_0" in variables["params"] and cfg == {}
+
+
+def test_pickle_payloads_require_opt_in(tmp_path):
+    """weights_only-safe payloads load by default; object-bearing ones
+    (the toy path's TrainConfig) demand an explicit allow_pickle=True."""
+    import argparse
+
+    sd = _make_mlp_sd()
+    src = tmp_path / "toy.pt"
+    torch.save({"model": sd, "config": argparse.Namespace(m=8, beta=0.1)}, src)
+
+    with pytest.raises(ValueError, match="allow_pickle"):
+        load_reference_checkpoint(str(src))
+
+    variables, cfg = load_reference_checkpoint(str(src), allow_pickle=True)
+    assert "Dense_0" in variables["params"]
+    assert cfg == {"m": 8, "beta": 0.1}

@@ -98,15 +98,24 @@ def test_pipelined_forward_matches_plain(pp, microbatches):
 
 
 def test_pipelined_train_step_matches_manual_oracle():
-    """DP x PP training == manual per-data-shard emulation, multi-step.
+    """DP x PP training == manual per-data-shard emulation, multi-step,
+    with an ENGAGED global-norm clip through the pipe-axis sharded clipper.
 
     The oracle replays exactly what the shard_map step does: fold the data-
     axis index into the key per shard, average gradients over data shards,
-    apply the same optimizer. The pipe axis must be numerically transparent.
+    apply the same optimizer. The pipe axis must be numerically transparent
+    — including the clip norm: inside the pipe shard_map each shard sees
+    only its (1, L, ...) stage grad slice, so a plain optax clipper would
+    compute a different norm per stage and scale the replicated embed
+    updates inconsistently; clip=1e-3 (always engaged) makes that
+    divergence fail the leaf-for-leaf compare below.
     """
+    from ddm_tpu.parallel import PIPE_AXIS, clip_by_global_norm_sharded
+
     model, params = _tiny_dit(depth=4)
     hp = dict(m=2, beta=0.1, lam=1.0, w_bias=0.0)
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
+    clip = 1e-3  # far below the init grad norm: ALWAYS engages
+    tx = optax.chain(optax.clip_by_global_norm(clip), optax.adamw(1e-3))
     tok_transform = lambda x0: patchify_images(x0, 2)  # noqa: E731
 
     mesh = make_pipe_mesh(pp=4)  # data=2 x pipe=4
@@ -115,7 +124,12 @@ def test_pipelined_train_step_matches_manual_oracle():
     pipe_params = to_pipeline_params(
         jax.tree.map(jnp.copy, params), n_stages=4
     )
-    state = TrainState.create(apply_fn=None, params=pipe_params, tx=tx)
+    tx_pipe = optax.chain(
+        clip_by_global_norm_sharded(
+            clip, pipeline_tree_shardings(pipe_params, mesh), PIPE_AXIS),
+        optax.adamw(1e-3),
+    )
+    state = TrainState.create(apply_fn=None, params=pipe_params, tx=tx_pipe)
     state, shardings = place_train_state(
         state, mesh, shardings=pipeline_tree_shardings(state, mesh)
     )
@@ -166,4 +180,137 @@ def test_pipelined_train_step_matches_manual_oracle():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5,
             err_msg=f"param mismatch at {pa}",
+        )
+
+
+def _tiny_tp_dit(depth=4, sp=False):
+    """(full, pipelined-local) tp=2 DDDMDiT pair sharing one param tree."""
+    kw = dict(
+        img_size=8, patch_size=2, embed_dim=32, depth=depth, num_heads=2,
+        time_embed_dim=16, data_format="NHWC", tp=2,
+    )
+    full = DDDMDiT(tp_axis=None, **kw)
+    local = DDDMDiT(tp_axis="model", sequence_parallel=sp, **kw)
+    xt = jnp.zeros((2, 8, 8, 3))
+    params = full.init(jax.random.PRNGKey(0), xt, jnp.zeros((2,)), xt)
+    return full, local, params
+
+
+def test_pp_tp_forward_matches_plain():
+    """Staged forward over a 3-D (data=2, pipe=2, model=2) mesh == plain
+    tokens: the per-stage blocks run the Megatron layout on local weight
+    shards while microbatches rotate over 'pipe'."""
+    full, local, params = _tiny_tp_dit(depth=4)
+    mesh = make_pipe_mesh(pp=2, tp=2)
+    assert dict(mesh.shape) == {"data": 2, "pipe": 2, "model": 2}
+
+    pipe_params = to_pipeline_params(params, n_stages=2)
+    shardings = pipeline_tree_shardings(pipe_params, mesh)
+    # stage weights carry BOTH axes; norms/biases pipe only
+    qkv_spec = shardings["stages"]["attn"]["q"]["kernel"].spec
+    assert qkv_spec == P("pipe", None, None, "model")
+    assert shardings["stages"]["norm1"]["scale"].spec in (
+        P("pipe"), P("pipe", None)
+    )
+
+    apply = make_pipelined_apply(local, n_stages=2, n_microbatches=2)
+    specs = jax.tree.map(lambda s: s.spec, shardings)
+    fwd = jax.shard_map(
+        apply, mesh=mesh,
+        in_specs=(specs, P("data"), P("data"), P("data")),
+        out_specs=P("data"), check_vma=False,
+    )
+
+    xt = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 3))
+    xi = jax.random.normal(jax.random.PRNGKey(2), (4, 8, 8, 3))
+    t = jnp.full((4,), 0.3)
+    placed = jax.tree.map(lambda x, s: jax.device_put(x, s),
+                          pipe_params, shardings)
+    got = fwd(placed, xt, t, xi)
+    want = full.apply(params, xt, t, xi, method="tokens")
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), rtol=2e-4, atol=1e-5
+    )
+
+
+def test_pp_tp_sp_train_step_matches_oracle():
+    """Full 3-D composition + sequence parallelism: DP x PP x TP(+SP)
+    training with an ENGAGED clip through the ('pipe','model') sharded
+    clipper == manual full-model oracle, leaf for leaf, over 2 steps.
+
+    Crosses every boundary operator at once: pipeline f/g over 'pipe',
+    Megatron f/g + all_gather/psum_scatter over 'model', the SP enter
+    slice and sp_region_exit, and the multi-axis clip divisors
+    (stage weights sharded over both axes, stage norms over pipe only,
+    embed/head over neither).
+    """
+    from ddm_tpu.parallel import PIPE_AXIS, clip_by_global_norm_sharded
+    from ddm_tpu.parallel.mesh import MODEL_AXIS
+
+    full, local, params = _tiny_tp_dit(depth=4, sp=True)
+    hp = dict(m=2, beta=0.1, lam=1.0, w_bias=0.0)
+    clip = 1e-3  # always engages at init grad norms
+    tok_transform = lambda x0: patchify_images(x0, 2)  # noqa: E731
+
+    mesh = make_pipe_mesh(pp=2, tp=2)
+    dp = mesh.shape["data"]
+
+    pipe_params = to_pipeline_params(jax.tree.map(jnp.copy, params), 2)
+    tx_pipe = optax.chain(
+        clip_by_global_norm_sharded(
+            clip, pipeline_tree_shardings(pipe_params, mesh),
+            (PIPE_AXIS, MODEL_AXIS)),
+        optax.adamw(1e-3),
+    )
+    state = TrainState.create(apply_fn=None, params=pipe_params, tx=tx_pipe)
+    state, shardings = place_train_state(
+        state, mesh, shardings=pipeline_tree_shardings(state, mesh)
+    )
+    apply = make_pipelined_apply(local, n_stages=2, n_microbatches=2)
+    step = make_sharded_train_step(
+        apply, mesh, shardings, dp_shard_map=True,
+        target_transform=tok_transform, **hp,
+    )
+
+    ref_state = TrainState.create(
+        apply_fn=None, params=jax.tree.map(jnp.copy, params),
+        tx=optax.chain(optax.clip_by_global_norm(clip), optax.adamw(1e-3)),
+    )
+    tok_apply = lambda p, a, b, c: full.apply(p, a, b, c, method="tokens")  # noqa: E731
+    loss_fn = make_loss_fn(tok_apply, target_transform=tok_transform, **hp)
+
+    key = jax.random.PRNGKey(21)
+    batch = jax.random.normal(jax.random.PRNGKey(22), (8, 8, 8, 3))
+
+    for i in range(2):
+        k = jax.random.fold_in(key, i)
+        state, metrics = step(state, k, shard_batch(batch, mesh))
+
+        shards = np.asarray(batch).reshape(dp, -1, 8, 8, 3)
+        grads_acc, losses = None, []
+        for d in range(dp):
+            kd = jax.random.fold_in(k, d)
+            (_, md), gd = jax.value_and_grad(loss_fn, has_aux=True)(
+                ref_state.params, kd, jnp.asarray(shards[d])
+            )
+            losses.append(float(md["loss"]))
+            grads_acc = gd if grads_acc is None else jax.tree.map(
+                jnp.add, grads_acc, gd
+            )
+        ref_state = ref_state.apply_gradients(
+            grads=jax.tree.map(lambda g: g / dp, grads_acc)
+        )
+        np.testing.assert_allclose(
+            float(metrics["loss"]), np.mean(losses), rtol=5e-5,
+            err_msg=f"loss mismatch at step {i}",
+        )
+
+    got = from_pipeline_params(jax.device_get(state.params))
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref_state.params),
+        jax.tree_util.tree_leaves_with_path(got),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(pa)}",
         )

@@ -132,7 +132,7 @@ def train(args: argparse.Namespace) -> None:
     if args.pp > 1:
         from ddm_tpu.parallel import make_pipe_mesh, to_pipeline_params
 
-        mesh = make_pipe_mesh(pp=args.pp)
+        mesh = make_pipe_mesh(pp=args.pp, tp=args.tp)
         state_params = to_pipeline_params(params, args.pp)
     else:
         mesh = make_mesh(tp=args.tp)
@@ -149,18 +149,20 @@ def train(args: argparse.Namespace) -> None:
                                           fsdp_tree_shardings)
             tx_parts.append(clip_by_global_norm_fsdp(
                 args.grad_clip, fsdp_tree_shardings(params, mesh)))
+        elif args.pp > 1:
+            from ddm_tpu.parallel import (MODEL_AXIS, PIPE_AXIS,
+                                          pipeline_tree_shardings)
+            from ddm_tpu.parallel.fsdp import clip_by_global_norm_sharded
+            axes = (PIPE_AXIS, MODEL_AXIS) if args.tp > 1 else PIPE_AXIS
+            tx_parts.append(clip_by_global_norm_sharded(
+                args.grad_clip, pipeline_tree_shardings(state_params, mesh),
+                axes))
         elif args.tp > 1:
             from ddm_tpu.parallel import MODEL_AXIS, tree_shardings
             from ddm_tpu.parallel.fsdp import clip_by_global_norm_sharded
             tx_parts.append(clip_by_global_norm_sharded(
                 args.grad_clip, tree_shardings(params, mesh, DIT_TP_RULES),
                 MODEL_AXIS))
-        elif args.pp > 1:
-            from ddm_tpu.parallel import PIPE_AXIS, pipeline_tree_shardings
-            from ddm_tpu.parallel.fsdp import clip_by_global_norm_sharded
-            tx_parts.append(clip_by_global_norm_sharded(
-                args.grad_clip, pipeline_tree_shardings(state_params, mesh),
-                PIPE_AXIS))
         else:
             tx_parts.append(optax.clip_by_global_norm(args.grad_clip))
     tx_parts.append(optax.adamw(args.lr, weight_decay=args.weight_decay))
@@ -259,9 +261,13 @@ def train(args: argparse.Namespace) -> None:
 
         # GPipe-staged block stack (ddm_tpu.parallel.pipeline): emits
         # tokens like the tp/plain paths, so the same target_transform
-        # applies.
+        # applies. With --tp the stage blocks run the Megatron layout on
+        # local weight shards (collectives over 'model', orthogonal to the
+        # 'pipe' rotation); with --sp their residual stream stays
+        # token-sharded between stages.
+        pp_model = build_model(args, tp_axis="model") if args.tp > 1 else model
         step_apply = make_pipelined_apply(
-            model, n_stages=args.pp, n_microbatches=args.pp_microbatches)
+            pp_model, n_stages=args.pp, n_microbatches=args.pp_microbatches)
     else:
         step_model = build_model(args, tp_axis="model") if args.tp > 1 else model
 
@@ -647,8 +653,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "block stack is staged GPipe-style, each device "
                              "holding depth/N blocks' weights + Adam "
                              "moments; microbatches rotate between stages "
-                             "via ppermute. Requires --tp 1, no --fsdp, and "
-                             "--depth divisible by N")
+                             "via ppermute. Composes with --tp/--sp (3-D "
+                             "data x pipe x model mesh) but not --fsdp; "
+                             "--depth must be divisible by N")
     parser.add_argument("--pp-microbatches", type=int, default=4,
                         dest="pp_microbatches",
                         help="microbatches per pipeline step; the bubble "
@@ -709,13 +716,37 @@ def main(argv: Optional[list] = None) -> None:
                      "shape-based FSDP placement conflicts with the Megatron "
                      "TP rule table (use one or the other)")
     if args.pp > 1:
-        if args.tp > 1 or args.fsdp:
-            parser.error("--pp composes with data parallelism only "
-                         "(one of --pp / --tp / --fsdp)")
+        if args.fsdp:
+            parser.error("--pp does not compose with --fsdp (the staged "
+                         "stack is already model-sharded over 'pipe'; use "
+                         "--pp with --tp/--sp and data parallelism)")
         if args.depth % args.pp:
             parser.error("--pp must divide --depth (equal-depth stages)")
         if args.pp_microbatches < 1:
             parser.error("--pp-microbatches must be >= 1")
+        if args.mlp_persist:
+            parser.error("--mlp-persist does not compose with --pp: the "
+                         "per-block-index hybrid cannot map onto the "
+                         "single shared block a stacked stage scan runs "
+                         "(use --remat for PP memory relief)")
+        multihost = args.multihost or "JAX_COORDINATOR_ADDRESS" in os.environ
+        if not multihost:
+            # single-process: the final mesh shape is known now, so fail
+            # fast like the --tp/--sp divisibility checks (multi-host runs
+            # see only local devices here; make_pipe_mesh revalidates)
+            n_dev = jax.device_count()
+            if n_dev % (args.pp * args.tp):
+                parser.error(f"--pp {args.pp} x --tp {args.tp} must divide "
+                             f"the device count ({n_dev})")
+            dp = n_dev // (args.pp * args.tp)
+            if args.batch % dp:
+                parser.error(f"--batch {args.batch} must divide over "
+                             f"{dp} data shards")
+            rows = (args.batch // dp) * args.m
+            if rows % args.pp_microbatches:
+                parser.error(f"--pp-microbatches {args.pp_microbatches} "
+                             f"must divide the per-shard row count "
+                             f"(batch/dp * m = {rows})")
     if args.eval_every > 0 and args.eval_samples <= 0:
         parser.error("--eval-samples must be positive when evaluation is enabled")
     if args.eval_batch <= 0:
