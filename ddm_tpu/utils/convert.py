@@ -37,7 +37,7 @@ deserialize the ``.pt`` file).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import numpy as np
 
@@ -46,6 +46,9 @@ __all__ = [
     "dit_params_from_reference",
     "mlp_params_from_reference",
     "load_reference_checkpoint",
+    "reference_state_dict_from_dit",
+    "reference_state_dict_from_mlp",
+    "save_reference_checkpoint",
 ]
 
 
@@ -193,3 +196,125 @@ def load_reference_checkpoint(
         f"unrecognised reference state_dict (keys like {keys[:3]}); "
         "expected DDDMDiT (patch_embed.*) or DDDMMLP (net.*)"
     )
+
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def reference_state_dict_from_dit(
+    variables: Mapping[str, Any],
+    patch_size: int,
+    in_channels: int = 6,
+    out_channels: int = 3,
+) -> Dict[str, np.ndarray]:
+    """ddm_tpu ``DDDMDiT`` variables -> reference state_dict (numpy).
+
+    Exact inverse of :func:`dit_params_from_reference` (round-trip is
+    bitwise; tested), so runs trained here can be evaluated or resumed
+    under the reference implementation. ``patch_size``/channel counts are
+    explicit because the flattened ``(p*p*C, D)`` patch kernel does not
+    determine ``p`` and ``C`` by shape alone. The canonical tp>1 tree's
+    separate column-parallel q/k/v projections are re-fused into the
+    reference's single qkv Linear (identical ``(3, H, Dh)`` row order).
+    """
+    p = variables["params"]
+    ps, ci, co = patch_size, in_channels, out_channels
+    d = _np(p["patch_proj"]["kernel"]).shape[-1]
+
+    sd: Dict[str, np.ndarray] = {
+        # our token feature order (ph, pw, c) -> conv taps (c, ph, pw)
+        "patch_embed.proj.weight": _np(p["patch_proj"]["kernel"])
+        .reshape(ps, ps, ci, d).transpose(3, 2, 0, 1),
+        "patch_embed.proj.bias": _np(p["patch_proj"]["bias"]),
+        "pos_embed": _np(p["pos_embed"]),
+        "time_mlp.0.weight": _np(p["time_mlp_0"]["kernel"]).T,
+        "time_mlp.0.bias": _np(p["time_mlp_0"]["bias"]),
+        "time_mlp.2.weight": _np(p["time_mlp_1"]["kernel"]).T,
+        "time_mlp.2.bias": _np(p["time_mlp_1"]["bias"]),
+        "norm.weight": _np(p["final_norm"]["scale"]),
+        "norm.bias": _np(p["final_norm"]["bias"]),
+        "unembed.proj.weight": _np(p["unembed"]["kernel"])
+        .reshape(d, ps, ps, co).transpose(3, 1, 2, 0).reshape(co * ps * ps, d),
+        "unembed.proj.bias": _np(p["unembed"]["bias"])
+        .reshape(ps, ps, co).transpose(2, 0, 1).reshape(-1),
+    }
+
+    i = 0
+    while f"block_{i}" in p:
+        b, rb = p[f"block_{i}"], f"blocks.{i}"
+        attn = b["attn"]
+        if "qkv" in attn:
+            wqkv = _np(attn["qkv"]["kernel"]).T
+            bqkv = _np(attn["qkv"]["bias"])
+        else:  # tp>1 canonical tree: separate column-parallel q/k/v
+            wqkv = np.concatenate(
+                [_np(attn[k]["kernel"]).T for k in ("q", "k", "v")], axis=0
+            )
+            bqkv = np.concatenate(
+                [_np(attn[k]["bias"]) for k in ("q", "k", "v")], axis=0
+            )
+        sd.update({
+            f"{rb}.norm1.weight": _np(b["norm1"]["scale"]),
+            f"{rb}.norm1.bias": _np(b["norm1"]["bias"]),
+            f"{rb}.attn.qkv.weight": wqkv,
+            f"{rb}.attn.qkv.bias": bqkv,
+            f"{rb}.attn.proj.weight": _np(attn["proj"]["kernel"]).T,
+            f"{rb}.attn.proj.bias": _np(attn["proj"]["bias"]),
+            f"{rb}.norm2.weight": _np(b["norm2"]["scale"]),
+            f"{rb}.norm2.bias": _np(b["norm2"]["bias"]),
+            f"{rb}.ff.net.0.weight": _np(b["ff_in"]["kernel"]).T,
+            f"{rb}.ff.net.0.bias": _np(b["ff_in"]["bias"]),
+            f"{rb}.ff.net.2.weight": _np(b["ff_out"]["kernel"]).T,
+            f"{rb}.ff.net.2.bias": _np(b["ff_out"]["bias"]),
+        })
+        i += 1
+    return sd
+
+
+def reference_state_dict_from_mlp(
+    variables: Mapping[str, Any], time_dim: int = 32
+) -> Dict[str, np.ndarray]:
+    """ddm_tpu ``DDDMMLP`` variables -> reference state_dict (numpy)."""
+    p = variables["params"]
+    n = time_dim // 2
+    sd: Dict[str, np.ndarray] = {
+        "tfeat.freq": np.linspace(1.0, float(n), n, dtype=np.float32)
+    }
+    for i in range(5):
+        sd[f"net.{2 * i}.weight"] = _np(p[f"Dense_{i}"]["kernel"]).T
+        sd[f"net.{2 * i}.bias"] = _np(p[f"Dense_{i}"]["bias"])
+    return sd
+
+
+def save_reference_checkpoint(
+    path: str, variables: Mapping[str, Any], config: Optional[Dict] = None
+) -> str:
+    """Write a reference-format ``torch.save({"model", "config"})`` .pt.
+
+    Architecture is detected from the param tree; DiT needs ``patch_size``
+    (and non-RGB runs ``in/out_channels``) present in ``config`` — the
+    train CLI's saved config always carries them.
+    """
+    import torch  # lazy
+
+    config = dict(config or {})
+    p = variables["params"]
+    if "patch_proj" in p:
+        sd = reference_state_dict_from_dit(
+            variables,
+            patch_size=int(config.get("patch_size", 4)),
+            in_channels=int(config.get("in_channels", 6)),
+            out_channels=int(config.get("out_channels", 3)),
+        )
+    else:
+        sd = reference_state_dict_from_mlp(
+            variables, time_dim=int(config.get("time_embed", 32))
+        )
+    payload = {
+        "model": {k: torch.from_numpy(np.ascontiguousarray(v))
+                  for k, v in sd.items()},
+        "config": config,
+    }
+    torch.save(payload, path)
+    return path

@@ -251,3 +251,91 @@ def test_pickle_payloads_require_opt_in(tmp_path):
     variables, cfg = load_reference_checkpoint(str(src), allow_pickle=True)
     assert "Dense_0" in variables["params"]
     assert cfg == {"m": 8, "beta": 0.1}
+
+
+def test_reverse_conversion_roundtrips_bitwise():
+    """torch sd -> ddm_tpu params -> torch sd is exact, both architectures,
+    and the tp>1 canonical tree's separate q/k/v re-fuse correctly."""
+    from ddm_tpu.utils.convert import (
+        reference_state_dict_from_dit,
+        reference_state_dict_from_mlp,
+        state_dict_to_numpy,
+    )
+
+    sd = state_dict_to_numpy(_make_dit_sd(CFG))
+    back = reference_state_dict_from_dit(
+        dit_params_from_reference(sd), patch_size=CFG["patch"],
+        in_channels=2 * CFG["c"], out_channels=CFG["c"],
+    )
+    assert set(back) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back[k], sd[k], err_msg=k)
+
+    msd = state_dict_to_numpy(_make_mlp_sd())
+    mback = reference_state_dict_from_mlp(
+        mlp_params_from_reference(msd), time_dim=32
+    )
+    assert set(mback) == set(msd)
+    for k in msd:
+        np.testing.assert_array_equal(mback[k], msd[k], err_msg=k)
+
+    # tp>1 canonical tree: separate q/k/v columns re-fuse to the same rows
+    params = dit_params_from_reference(sd)
+    for i in range(CFG["depth"]):
+        attn = params["params"][f"block_{i}"]["attn"]
+        wq, wk, wv = np.split(attn["qkv"]["kernel"], 3, axis=1)
+        bq, bk, bv = np.split(attn["qkv"]["bias"], 3)
+        params["params"][f"block_{i}"]["attn"] = {
+            "q": {"kernel": wq, "bias": bq},
+            "k": {"kernel": wk, "bias": bk},
+            "v": {"kernel": wv, "bias": bv},
+            "proj": attn["proj"],
+        }
+    refused = reference_state_dict_from_dit(
+        params, patch_size=CFG["patch"],
+        in_channels=2 * CFG["c"], out_channels=CFG["c"],
+    )
+    for k in sd:
+        np.testing.assert_array_equal(refused[k], sd[k], err_msg=k)
+
+
+def test_to_torch_tool_exports_reference_payload(tmp_path):
+    """--to-torch: a ddm_tpu .ckpt exports to a reference-format .pt whose
+    functional-oracle forward matches the ddm_tpu model."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    try:
+        import convert_reference_ckpt as tool
+    finally:
+        sys.path.pop(0)
+    from ddm_tpu.utils.checkpoint import save_checkpoint
+
+    model = DDDMDiT(
+        img_size=CFG["img"], patch_size=CFG["patch"], embed_dim=CFG["dim"],
+        depth=CFG["depth"], num_heads=CFG["heads"], time_embed_dim=CFG["tdim"],
+        data_format="NCHW", dtype=jnp.float32, attention_impl="xla",
+    )
+    xt0 = jnp.zeros((1, 3, 8, 8))
+    variables = model.init(jax.random.PRNGKey(7), xt0, jnp.zeros((1,)), xt0)
+    config = {"patch_size": CFG["patch"], "embed_dim": CFG["dim"],
+              "depth": CFG["depth"], "heads": CFG["heads"],
+              "time_embed": CFG["tdim"], "image_size": CFG["img"]}
+    src = tmp_path / "run.ckpt"
+    save_checkpoint(str(src), variables, config)
+
+    dst = tmp_path / "model.pt"
+    tool.main(["--to-torch", str(src), str(dst)])
+
+    payload = torch.load(dst, map_location="cpu", weights_only=True)
+    assert payload["config"]["embed_dim"] == CFG["dim"]
+
+    gen = torch.Generator().manual_seed(9)
+    xt = torch.randn(2, 3, 8, 8, generator=gen)
+    xi = torch.randn(2, 3, 8, 8, generator=gen)
+    t = torch.rand(2, generator=gen)
+    want = np.asarray(model.apply(variables, jnp.asarray(xt.numpy()),
+                                  jnp.asarray(t.numpy()),
+                                  jnp.asarray(xi.numpy())))
+    got = _oracle_dit(payload["model"], CFG, xt, t, xi).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
