@@ -285,6 +285,26 @@ class DiTBlock(nn.Module):
     # leave through a token psum_scatter instead of the g psum. Same comm
     # volume as TP's two psums, but activations and LN compute scale 1/tp.
     sequence_parallel: bool = False
+    # Mixture-of-Experts MLP half (ddm_tpu.models.moe): > 1 replaces the
+    # dense ff_in/ff_out with moe_experts top-1-routed expert FFNs; with
+    # tp > 1 the experts are SHARDED over the model axis (expert
+    # parallelism: E/tp experts' weights + moments per shard, one psum).
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
+
+    def _moe_half(self, x: jnp.ndarray) -> jnp.ndarray:
+        """LN2 + top-1 expert MLP + residual (replaces the dense MLP)."""
+        from ddm_tpu.models.moe import MoEMLP
+
+        B, N, D = x.shape
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
+        out = MoEMLP(
+            self.dim, int(self.dim * self.mlp_ratio), self.moe_experts,
+            capacity_factor=self.moe_capacity, tp=self.tp,
+            tp_axis=self.tp_axis, dtype=self.dtype, name="moe",
+        )(h.reshape(B * N, D))
+        out = x.astype(jnp.float32) + out.astype(jnp.float32).reshape(B, N, D)
+        return out.astype(self.dtype)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -308,6 +328,9 @@ class DiTBlock(nn.Module):
                 self.dim, self.num_heads, dtype=self.dtype,
                 attention_impl=self.attention_impl, name="attn",
             )(h)
+
+        if self.moe_experts > 1:
+            return self._moe_half(x)
 
         hidden = int(self.dim * self.mlp_ratio)
         if self.fused_mlp:
@@ -372,6 +395,10 @@ class DiTBlock(nn.Module):
             dtype=self.dtype, attention_impl=self.attention_impl,
             sequence_parallel=sp, name="attn",
         )(h, x)
+
+        if self.moe_experts > 1:
+            # expert parallelism: E/tp experts per model shard, one psum
+            return self._moe_half(x)
 
         hidden = int(self.dim * self.mlp_ratio)
         hidden_local = hidden // self.tp if shard else hidden
@@ -476,6 +503,11 @@ class DDDMDiT(nn.Module):
     # LN compute in the block stack scale 1/tp at identical comm volume.
     # Inert when tp_axis is None (init / sampling / replicated oracle).
     sequence_parallel: bool = False
+    # Mixture-of-Experts MLP halves (ddm_tpu.models.moe): > 1 replaces
+    # every block's dense MLP with top-1-routed expert FFNs; with tp > 1
+    # the experts shard over the model axis (expert parallelism).
+    moe_experts: int = 0
+    moe_capacity: float = 1.25
 
     def setup(self):
         if self.img_size % self.patch_size != 0:
@@ -498,6 +530,23 @@ class DDDMDiT(nn.Module):
                 raise ValueError(
                     f"sequence_parallel needs the token count "
                     f"({self.num_patches}) divisible by tp={self.tp}"
+                )
+        if self.moe_experts > 1:
+            if self.moe_experts % self.tp:
+                raise ValueError(
+                    f"moe_experts ({self.moe_experts}) must be divisible "
+                    f"by tp ({self.tp}) for expert parallelism"
+                )
+            if self.sequence_parallel:
+                raise ValueError(
+                    "moe_experts with sequence_parallel is unsupported: "
+                    "token-sharded rows meeting expert-sharded weights "
+                    "would need an all_to_all dispatch (not implemented)"
+                )
+            if self.mlp_persist_blocks:
+                raise ValueError(
+                    "mlp_persist_blocks applies to the dense MLP half, "
+                    "which moe_experts replaces"
                 )
         self.patch_proj = nn.Dense(self.embed_dim, dtype=self.dtype, name="patch_proj")
         self.pos_embed = self.param(
@@ -529,6 +578,8 @@ class DDDMDiT(nn.Module):
                 tp_axis=self.tp_axis,
                 mlp_persist=i < self.mlp_persist_blocks,
                 sequence_parallel=self.sequence_parallel,
+                moe_experts=self.moe_experts,
+                moe_capacity=self.moe_capacity,
                 name=f"block_{i}",
             )
             for i in range(self.depth)

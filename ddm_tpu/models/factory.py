@@ -41,6 +41,8 @@ MODEL_DEFAULTS: dict = {
     "tp": 1,
     "sp": False,
     "mlp_persist": 0,
+    "moe_experts": 0,
+    "moe_capacity": 1.25,
 }
 
 # Inference-time knobs generate.py needs when a checkpoint's embedded
@@ -95,4 +97,6 @@ def build_model(cfg: Any, tp_axis: Optional[str] = None) -> DDDMDiT:
         tp_axis=tp_axis,
         sequence_parallel=bool(get("sp")) and int(get("tp")) > 1,
         mlp_persist_blocks=int(get("mlp_persist")),
+        moe_experts=int(get("moe_experts")),
+        moe_capacity=float(get("moe_capacity")),
     )

@@ -1,0 +1,142 @@
+"""Mixture-of-Experts MLP half-block with expert parallelism.
+
+Capability addition (the reference has no MoE — SURVEY §2 lists a dense
+GELU ``FeedForward`` only, ``/root/reference/dddm/model.py:156-166``):
+a top-1-routed expert MLP for scaled-width DiT deployments, designed
+TPU-first in the GShard/Switch style:
+
+  * **Static shapes end-to-end.** Routing is expressed as capacity-bounded
+    one-hot dispatch/combine tensors and the expert FFNs run as batched
+    ``(E, C, D) x (E, D, F)`` einsums — large MXU matmuls, no gathers with
+    data-dependent shapes, nothing XLA cannot tile.
+  * **Top-1 (Switch) routing** with the gate probability scaling the
+    expert output, so the router is trained through the only
+    differentiable path hard routing leaves open. Tokens over an expert's
+    capacity ``C = ceil(T/E * capacity_factor)`` are dropped — they pass
+    through the residual connection untouched (standard Switch behaviour).
+  * **Expert parallelism over the ``model`` mesh axis**: each shard holds
+    ``E/tp`` experts' weights (and Adam moments) and computes ONLY its
+    local experts on the (axis-replicated) token stream; partial combines
+    leave through the Megatron ``g`` psum, and the ``f`` operator
+    reassembles the cotangents of the replicated inputs/router — the same
+    conjugate-operator discipline as :class:`~ddm_tpu.models.dit._TPAttention`
+    (one psum per MoE block, identical comm volume to the dense TP MLP).
+    Composes with tensor-parallel attention on the same axis and with the
+    pipeline stage scan (the expert dimension stacks like any other leaf).
+
+Aux signal: the standard Switch load-balance loss (mean over experts of
+``E * fraction_routed * mean_prob``) is returned via ``self.sow`` under
+the ``"losses"`` collection as ``moe_aux`` so the training step can add
+``moe_aux_weight * aux`` without threading extra outputs through the
+denoiser contract.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["MoEMLP"]
+
+
+class MoEMLP(nn.Module):
+    """Top-1 expert-routed GELU MLP over token rows ``(T, D) -> (T, D)``.
+
+    Two instantiations share one param tree (the `_TPAttention` trick):
+    ``tp_axis=None`` declares full ``(E, ...)`` expert weights (init,
+    sampling, the replicated oracle); ``tp_axis='model'`` declares the
+    local ``(E/tp, ...)`` shard inside ``shard_map`` — flax sees each
+    shard's slice, and this module computes only the local experts.
+    """
+
+    dim: int
+    hidden: int
+    num_experts: int
+    capacity_factor: float = 1.25
+    tp: int = 1
+    tp_axis: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, rows: jnp.ndarray) -> jnp.ndarray:
+        shard = self.tp_axis is not None
+        e_local = self.num_experts // self.tp if shard else self.num_experts
+        T, D = rows.shape
+        E = self.num_experts
+        cap = int(-(-T * self.capacity_factor // E))  # ceil
+
+        wr = self.param("router_kernel", nn.initializers.lecun_normal(),
+                        (self.dim, E), jnp.float32)
+        br = self.param("router_bias", nn.initializers.zeros, (E,),
+                        jnp.float32)
+        w1 = self.param("experts_in", nn.initializers.lecun_normal(),
+                        (e_local, self.dim, self.hidden), jnp.float32)
+        b1 = self.param("experts_in_bias", nn.initializers.zeros,
+                        (e_local, self.hidden), jnp.float32)
+        w2 = self.param("experts_out", nn.initializers.lecun_normal(),
+                        (e_local, self.hidden, self.dim), jnp.float32)
+        b2 = self.param("experts_out_bias", nn.initializers.zeros,
+                        (e_local, self.dim), jnp.float32)
+
+        if shard:
+            from ddm_tpu.parallel.tp import tp_region_enter
+
+            # every replicated value consumed by per-shard expert branches
+            # gets partial cotangents; the f operator psums them back
+            rows = tp_region_enter(rows, self.tp_axis)
+            wr = tp_region_enter(wr, self.tp_axis)
+            br = tp_region_enter(br, self.tp_axis)
+
+        # --- routing (fp32; identical on every model shard) ---
+        logits = jnp.dot(rows.astype(jnp.float32), wr) + br      # (T, E)
+        probs = jax.nn.softmax(logits, axis=-1)
+        gate = jnp.max(probs, axis=-1)                           # (T,)
+        idx = jnp.argmax(probs, axis=-1)                         # (T,)
+
+        onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)       # (T, E)
+        # 0-based position of each token in its expert's queue
+        pos = jnp.cumsum(onehot, axis=0) * onehot - 1.0
+        keep = (pos >= 0) & (pos < cap)
+        # dispatch[t, e, c] = 1 iff token t is slot c of expert e
+        # (pos is -1 off-route / >= cap over capacity; one_hot of those
+        # yields zeros, matching the `keep` mask)
+        dispatch = (
+            onehot * keep
+        )[:, :, None] * jax.nn.one_hot(
+            pos.astype(jnp.int32), cap, dtype=jnp.float32
+        )
+
+        # Switch load-balance aux: E * sum_e f_e * P_e (==1 when uniform)
+        frac = jnp.mean(onehot, axis=0)
+        mean_p = jnp.mean(probs, axis=0)
+        self.sow("losses", "moe_aux", E * jnp.sum(frac * mean_p))
+
+        if shard:
+            s = jax.lax.axis_index(self.tp_axis)
+            local = jax.lax.dynamic_slice_in_dim(
+                dispatch, s * e_local, e_local, 1
+            )                                                    # (T, El, C)
+        else:
+            local = dispatch
+
+        comp = self.dtype
+        xin = jnp.einsum("tec,td->ecd", local.astype(comp),
+                         rows.astype(comp))                      # (El, C, D)
+        h = jnp.einsum("ecd,edf->ecf", xin, w1.astype(comp))
+        h = nn.gelu(h + b1[:, None, :].astype(comp), approximate=False)
+        out = jnp.einsum("ecf,efd->ecd", h, w2.astype(comp))
+        out = out + b2[:, None, :].astype(comp)                  # (El, C, D)
+
+        combine = local * (gate[:, None, None].astype(jnp.float32))
+        part = jnp.einsum(
+            "tec,ecd->td", combine.astype(jnp.float32),
+            out.astype(jnp.float32),
+        )                                                        # (T, D)
+        if shard:
+            from ddm_tpu.parallel.tp import tp_region_exit
+
+            part = tp_region_exit(part, self.tp_axis)
+        return part.astype(self.dtype)

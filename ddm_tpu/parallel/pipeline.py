@@ -237,6 +237,8 @@ def make_pipelined_apply(model, n_stages: int, n_microbatches: int):
         tp=model.tp,
         tp_axis=model.tp_axis,
         sequence_parallel=model.sequence_parallel,
+        moe_experts=model.moe_experts,
+        moe_capacity=model.moe_capacity,
     )
     S = n_stages
     M = n_microbatches

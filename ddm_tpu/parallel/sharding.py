@@ -58,6 +58,13 @@ DIT_TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r"ff_in/bias", P(MODEL_AXIS)),
     (r"ff_out/kernel", P(MODEL_AXIS, None)),
     (r"ff_out/bias", P()),
+    # MoE expert parallelism: the leading (num_experts) dim of every
+    # expert weight shards over the model axis (E/tp experts per shard,
+    # ddm_tpu.models.moe); the router stays replicated (falls through).
+    (r"moe/experts_in$", P(MODEL_AXIS)),
+    (r"moe/experts_in_bias$", P(MODEL_AXIS)),
+    (r"moe/experts_out$", P(MODEL_AXIS)),
+    (r"moe/experts_out_bias$", P(MODEL_AXIS)),
 )
 
 # Pure data parallelism: every param replicated.

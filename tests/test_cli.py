@@ -344,3 +344,45 @@ def test_cifar_cli_3d_parallel(tmp_path, monkeypatch):
         "--batch", "2", "--steps", "2", "--out", "", "--npz", str(npz),
     ])
     assert np.load(npz)["samples"].shape == (2, 32, 32, 3)
+
+
+def test_cifar_cli_moe_expert_parallel(tmp_path, monkeypatch):
+    """--moe-experts 4 --tp 2 end-to-end: expert-parallel MoE training +
+    sampling on the virtual mesh (experts sharded E/tp per model shard),
+    then generate.py from the MoE checkpoint."""
+    import ddm_tpu.models.inception as inception_mod
+
+    def _raise(*a, **k):
+        raise RuntimeError("no inception in tests")
+
+    monkeypatch.setattr(inception_mod, "InceptionEmbedding", _raise)
+    cifar_cli.main([
+        "--synthetic", "--epochs", "1", "--batch", "16",
+        "--embed-dim", "64", "--depth", "2", "--heads", "2",
+        "--time-embed", "16", "--m", "2", "--tp", "2",
+        "--moe-experts", "4", "--sample-batch", "4", "--sample-steps", "2",
+        "--eval-every", "0", "--ckpt-every", "1", "--dtype", "float32",
+        "--out", str(tmp_path),
+    ])
+    assert (tmp_path / "model_final.ckpt").exists()
+
+    import generate as gen_cli
+
+    npz = tmp_path / "moe.npz"
+    gen_cli.main([
+        "--ckpt", str(tmp_path / "model_final.ckpt"), "--n", "2",
+        "--batch", "2", "--steps", "2", "--out", "", "--npz", str(npz),
+    ])
+    assert np.load(npz)["samples"].shape == (2, 32, 32, 3)
+
+
+def test_cifar_cli_moe_validation(capsys):
+    with pytest.raises(SystemExit):
+        cifar_cli.main(["--moe-experts", "3", "--tp", "2"])
+    assert "divisible by --tp" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        cifar_cli.main(["--moe-experts", "4", "--tp", "2", "--sp"])
+    assert "all_to_all" in capsys.readouterr().err
+    with pytest.raises(SystemExit):
+        cifar_cli.main(["--moe-experts", "4", "--mlp-persist", "2"])
+    assert "dense MLP half" in capsys.readouterr().err

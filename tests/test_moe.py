@@ -1,0 +1,159 @@
+"""Mixture-of-Experts MLP + expert parallelism (8 virtual CPU devices).
+
+The static capacity-bounded dispatch must equal a per-token Python oracle
+(same top-1 routing, same first-come capacity rule, same gate scaling),
+and the expert-parallel shard_map step must match the full-model oracle
+leaf for leaf — the `ep` analogue of the TP/SP/PP equivalence suite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ddm_tpu.models.dit import DDDMDiT
+from ddm_tpu.models.moe import MoEMLP
+from ddm_tpu.parallel import (
+    DIT_TP_RULES,
+    make_mesh,
+    make_sharded_train_step,
+    place_train_state,
+    shard_batch,
+    tree_shardings,
+)
+from ddm_tpu.training import TrainState, make_loss_fn
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _moe_oracle(params, rows, num_experts, capacity_factor):
+    """Per-token reference: top-1 routing, first-come capacity, gate scale."""
+    p = params["params"]
+    T, D = rows.shape
+    cap = int(-(-T * capacity_factor // num_experts))
+    logits = rows @ p["router_kernel"] + p["router_bias"]
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    out = np.zeros((T, D), np.float32)
+    counts = [0] * num_experts
+    for t in range(T):
+        e = int(np.argmax(probs[t]))
+        if counts[e] >= cap:
+            continue  # dropped: residual only
+        counts[e] += 1
+        h = rows[t] @ p["experts_in"][e] + p["experts_in_bias"][e]
+        h = np.asarray(jax.nn.gelu(jnp.asarray(h), approximate=False))
+        y = h @ p["experts_out"][e] + p["experts_out_bias"][e]
+        out[t] = probs[t, e] * y
+    return out
+
+
+@pytest.mark.parametrize("capacity_factor", [2.0, 0.3])
+def test_moe_matches_per_token_oracle(capacity_factor):
+    """Dense einsum dispatch == per-token loop, incl. capacity drops."""
+    E, D, H, T = 4, 8, 16, 32
+    moe = MoEMLP(D, H, E, capacity_factor=capacity_factor)
+    rows = jax.random.normal(jax.random.PRNGKey(1), (T, D))
+    params = moe.init(jax.random.PRNGKey(0), rows)
+    got = moe.apply(params, rows)
+    want = _moe_oracle(
+        jax.tree.map(np.asarray, params), np.asarray(rows), E,
+        capacity_factor,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+    if capacity_factor < 1.0:  # the drop path must actually engage
+        dropped = np.sum(np.all(want == 0.0, axis=-1))
+        assert dropped > 0
+
+
+def _moe_dit_pair(tp: int):
+    kw = dict(
+        img_size=8, patch_size=2, embed_dim=32, depth=2, num_heads=2,
+        time_embed_dim=16, data_format="NHWC", dtype=jnp.float32,
+        tp=tp, moe_experts=4, moe_capacity=2.0,
+    )
+    full = DDDMDiT(tp_axis=None, **kw)
+    local = DDDMDiT(tp_axis="model", **kw)
+    xt = jnp.zeros((2, 8, 8, 3))
+    params = full.init(jax.random.PRNGKey(0), xt, jnp.zeros((2,)), xt)
+    return full, local, params
+
+
+def test_moe_dit_forward_and_expert_rules():
+    """MoE-DiT forward is finite and the rule table shards the expert dim."""
+    from jax.sharding import PartitionSpec as P
+
+    full, _, params = _moe_dit_pair(tp=2)
+    mesh = make_mesh(tp=2)
+    sh = tree_shardings(params, mesh, DIT_TP_RULES)
+    p0 = sh["params"]["block_0"]["moe"]
+    assert p0["experts_in"].spec == P("model")
+    assert p0["router_kernel"].spec == P()
+
+    xt = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 3))
+    out = full.apply(params, xt, jnp.full((4,), 0.5), xt)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ep_train_step_matches_oracle():
+    """DP x EP training step with an ENGAGED global-norm clip == manual
+    full-model oracle: each model shard computes only its E/tp experts
+    (local expert weight slices), the g psum assembles the combines, and
+    the f operators reassemble router/rows cotangents."""
+    from ddm_tpu.parallel import MODEL_AXIS, clip_by_global_norm_sharded
+
+    full, local, params = _moe_dit_pair(tp=2)
+    hp = dict(m=2, beta=0.1, lam=1.0, w_bias=0.0)
+    key = jax.random.PRNGKey(5)
+    batch = jax.random.normal(jax.random.PRNGKey(6), (8, 8, 8, 3))
+    clip = 1e-3  # always engages
+
+    mesh = make_mesh(tp=2)
+    tx_ep = optax.chain(
+        clip_by_global_norm_sharded(
+            clip, tree_shardings(params, mesh, DIT_TP_RULES), MODEL_AXIS),
+        optax.adam(1e-3),
+    )
+    state = TrainState.create(
+        apply_fn=local.apply, params=jax.tree.map(jnp.copy, params), tx=tx_ep
+    )
+    state, shardings = place_train_state(state, mesh, DIT_TP_RULES)
+    step = make_sharded_train_step(local.apply, mesh, shardings,
+                                   dp_shard_map=True, **hp)
+    state, m_ep = step(state, key, shard_batch(batch, mesh))
+
+    loss_fn = make_loss_fn(full.apply, **hp)
+    ref = TrainState.create(
+        apply_fn=full.apply, params=jax.tree.map(jnp.copy, params),
+        tx=optax.chain(optax.clip_by_global_norm(clip), optax.adam(1e-3)),
+    )
+    shards = batch.reshape(4, 2, 8, 8, 3)
+    acc = None
+    for i in range(4):
+        ki = jax.random.fold_in(key, i)
+        (_, mi), gi = jax.value_and_grad(loss_fn, has_aux=True)(
+            ref.params, ki, shards[i]
+        )
+        if i == 0:
+            loss0 = float(mi["loss"])
+        acc = gi if acc is None else jax.tree.map(jnp.add, acc, gi)
+    ref = ref.apply_gradients(grads=jax.tree.map(lambda g: g / 4, acc))
+
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref.params)[0],
+        jax.tree_util.tree_flatten_with_path(state.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
+def test_moe_validation():
+    with pytest.raises(ValueError, match="divisible"):
+        DDDMDiT(img_size=8, patch_size=2, embed_dim=32, depth=1,
+                num_heads=2, time_embed_dim=16, tp=2, moe_experts=3,
+                ).init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 8, 8)),
+                       jnp.zeros((1,)), jnp.zeros((1, 3, 8, 8)))

@@ -631,6 +631,22 @@ def build_parser() -> argparse.ArgumentParser:
                              "DiT-B at batch 256; use for larger widths/"
                              "batches — measured 394 vs 352 img/s/chip "
                              "no-remat vs remat at DiT-B/4)")
+    parser.add_argument("--moe-experts", type=int, dest="moe_experts",
+                        default=MODEL_DEFAULTS["moe_experts"],
+                        help="Mixture-of-Experts width scaling: > 1 replaces "
+                             "every block's dense MLP with this many "
+                             "top-1-routed expert FFNs (Switch-style, "
+                             "capacity-bounded static dispatch). With --tp "
+                             "the experts shard over the model axis (expert "
+                             "parallelism: E/tp experts' weights + Adam "
+                             "moments per shard, one psum per block). Must "
+                             "be divisible by --tp; excludes --sp and "
+                             "--mlp-persist")
+    parser.add_argument("--moe-capacity", type=float, dest="moe_capacity",
+                        default=MODEL_DEFAULTS["moe_capacity"],
+                        help="per-expert token capacity factor: capacity = "
+                             "ceil(tokens/experts * factor); over-capacity "
+                             "tokens pass through the residual untouched")
     parser.add_argument("--mlp-persist", type=int,
                         default=MODEL_DEFAULTS["mlp_persist"],
                         help="hybrid persist-residuals MLP backward: the "
@@ -711,6 +727,18 @@ def main(argv: Optional[list] = None) -> None:
         if n_tokens % args.tp:
             parser.error(f"--sp needs the token count ({n_tokens}) divisible "
                          f"by --tp ({args.tp})")
+    if args.moe_experts > 1:
+        if args.moe_experts % args.tp:
+            parser.error("--moe-experts must be divisible by --tp "
+                         "(expert parallelism shards E/tp experts per "
+                         "model shard)")
+        if args.sp:
+            parser.error("--moe-experts does not compose with --sp "
+                         "(token-sharded rows meeting expert-sharded "
+                         "weights would need an all_to_all dispatch)")
+        if args.mlp_persist:
+            parser.error("--mlp-persist applies to the dense MLP half, "
+                         "which --moe-experts replaces")
     if args.fsdp and args.tp > 1:
         parser.error("--fsdp composes with data parallelism only: the "
                      "shape-based FSDP placement conflicts with the Megatron "
