@@ -291,6 +291,7 @@ class DiTBlock(nn.Module):
     # parallelism: E/tp experts' weights + moments per shard, one psum).
     moe_experts: int = 0
     moe_capacity: float = 1.25
+    moe_group_size: int = 0
 
     def _moe_half(self, x: jnp.ndarray) -> jnp.ndarray:
         """LN2 + top-1 expert MLP + residual (replaces the dense MLP)."""
@@ -300,7 +301,8 @@ class DiTBlock(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         out = MoEMLP(
             self.dim, int(self.dim * self.mlp_ratio), self.moe_experts,
-            capacity_factor=self.moe_capacity, tp=self.tp,
+            capacity_factor=self.moe_capacity,
+            group_size=self.moe_group_size, tp=self.tp,
             tp_axis=self.tp_axis, dtype=self.dtype, name="moe",
         )(h.reshape(B * N, D))
         out = x.astype(jnp.float32) + out.astype(jnp.float32).reshape(B, N, D)
@@ -508,6 +510,10 @@ class DDDMDiT(nn.Module):
     # the experts shard over the model axis (expert parallelism).
     moe_experts: int = 0
     moe_capacity: float = 1.25
+    # routing group size (ddm_tpu.models.moe.MoEMLP.group_size): 0 = one
+    # group (exact; dispatch quadratic in rows — unit-test shapes only);
+    # set a few hundred for training shapes.
+    moe_group_size: int = 0
 
     def setup(self):
         if self.img_size % self.patch_size != 0:
@@ -580,6 +586,7 @@ class DDDMDiT(nn.Module):
                 sequence_parallel=self.sequence_parallel,
                 moe_experts=self.moe_experts,
                 moe_capacity=self.moe_capacity,
+                moe_group_size=self.moe_group_size,
                 name=f"block_{i}",
             )
             for i in range(self.depth)

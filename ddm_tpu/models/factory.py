@@ -43,6 +43,7 @@ MODEL_DEFAULTS: dict = {
     "mlp_persist": 0,
     "moe_experts": 0,
     "moe_capacity": 1.25,
+    "moe_group_size": 0,
 }
 
 # Inference-time knobs generate.py needs when a checkpoint's embedded
@@ -99,4 +100,5 @@ def build_model(cfg: Any, tp_axis: Optional[str] = None) -> DDDMDiT:
         mlp_persist_blocks=int(get("mlp_persist")),
         moe_experts=int(get("moe_experts")),
         moe_capacity=float(get("moe_capacity")),
+        moe_group_size=int(get("moe_group_size")),
     )

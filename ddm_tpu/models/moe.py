@@ -56,6 +56,13 @@ class MoEMLP(nn.Module):
     hidden: int
     num_experts: int
     capacity_factor: float = 1.25
+    # GShard-style routing groups: the dispatch/combine one-hot einsums
+    # cost O(T * group * D) FLOPs, so with one group (group_size=0) they
+    # are QUADRATIC in the total row count — fine for unit-test shapes,
+    # infeasible at the CIFAR training shape (B*m*N = 131k rows). A
+    # group_size of a few hundred keeps dispatch linear in T while the
+    # capacity rule applies per group (GShard §3.2's exact trade).
+    group_size: int = 0  # 0 = all rows in one group (exact, small T only)
     tp: int = 1
     tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
@@ -66,7 +73,15 @@ class MoEMLP(nn.Module):
         e_local = self.num_experts // self.tp if shard else self.num_experts
         T, D = rows.shape
         E = self.num_experts
-        cap = int(-(-T * self.capacity_factor // E))  # ceil
+        # clamp to the actual row count: init traces with a 1-image dummy
+        # (N rows) and small inference batches may be under one group
+        gs = min(self.group_size, T) if self.group_size > 0 else T
+        if T % gs:
+            raise ValueError(
+                f"row count {T} not divisible by moe group_size {gs}"
+            )
+        G = T // gs
+        cap = int(-(-gs * self.capacity_factor // E))  # ceil, per group
 
         wr = self.param("router_kernel", nn.initializers.lecun_normal(),
                         (self.dim, E), jnp.float32)
@@ -91,52 +106,55 @@ class MoEMLP(nn.Module):
             br = tp_region_enter(br, self.tp_axis)
 
         # --- routing (fp32; identical on every model shard) ---
-        logits = jnp.dot(rows.astype(jnp.float32), wr) + br      # (T, E)
+        rows_g = rows.reshape(G, gs, D)
+        logits = jnp.einsum(
+            "gtd,de->gte", rows_g.astype(jnp.float32), wr
+        ) + br                                                   # (G, gs, E)
         probs = jax.nn.softmax(logits, axis=-1)
-        gate = jnp.max(probs, axis=-1)                           # (T,)
-        idx = jnp.argmax(probs, axis=-1)                         # (T,)
+        gate = jnp.max(probs, axis=-1)                           # (G, gs)
+        idx = jnp.argmax(probs, axis=-1)                         # (G, gs)
 
-        onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)       # (T, E)
-        # 0-based position of each token in its expert's queue
-        pos = jnp.cumsum(onehot, axis=0) * onehot - 1.0
+        onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)       # (G, gs, E)
+        # 0-based position of each token in its expert's per-group queue
+        pos = jnp.cumsum(onehot, axis=1) * onehot - 1.0
         keep = (pos >= 0) & (pos < cap)
-        # dispatch[t, e, c] = 1 iff token t is slot c of expert e
-        # (pos is -1 off-route / >= cap over capacity; one_hot of those
-        # yields zeros, matching the `keep` mask)
+        # dispatch[g, t, e, c] = 1 iff token t is slot c of expert e in
+        # group g (pos is -1 off-route / >= cap over capacity; one_hot of
+        # those yields zeros, matching the `keep` mask)
         dispatch = (
             onehot * keep
-        )[:, :, None] * jax.nn.one_hot(
+        )[..., None] * jax.nn.one_hot(
             pos.astype(jnp.int32), cap, dtype=jnp.float32
-        )
+        )                                                        # (G, gs, E, C)
 
         # Switch load-balance aux: E * sum_e f_e * P_e (==1 when uniform)
-        frac = jnp.mean(onehot, axis=0)
-        mean_p = jnp.mean(probs, axis=0)
+        frac = jnp.mean(onehot, axis=(0, 1))
+        mean_p = jnp.mean(probs, axis=(0, 1))
         self.sow("losses", "moe_aux", E * jnp.sum(frac * mean_p))
 
         if shard:
             s = jax.lax.axis_index(self.tp_axis)
             local = jax.lax.dynamic_slice_in_dim(
-                dispatch, s * e_local, e_local, 1
-            )                                                    # (T, El, C)
+                dispatch, s * e_local, e_local, 2
+            )                                                    # (G, gs, El, C)
         else:
             local = dispatch
 
         comp = self.dtype
-        xin = jnp.einsum("tec,td->ecd", local.astype(comp),
-                         rows.astype(comp))                      # (El, C, D)
-        h = jnp.einsum("ecd,edf->ecf", xin, w1.astype(comp))
-        h = nn.gelu(h + b1[:, None, :].astype(comp), approximate=False)
-        out = jnp.einsum("ecf,efd->ecd", h, w2.astype(comp))
-        out = out + b2[:, None, :].astype(comp)                  # (El, C, D)
+        xin = jnp.einsum("gtec,gtd->gecd", local.astype(comp),
+                         rows_g.astype(comp))                    # (G, El, C, D)
+        h = jnp.einsum("gecd,edf->gecf", xin, w1.astype(comp))
+        h = nn.gelu(h + b1[None, :, None, :].astype(comp), approximate=False)
+        out = jnp.einsum("gecf,efd->gecd", h, w2.astype(comp))
+        out = out + b2[None, :, None, :].astype(comp)            # (G, El, C, D)
 
-        combine = local * (gate[:, None, None].astype(jnp.float32))
+        combine = local * gate[..., None, None].astype(jnp.float32)
         part = jnp.einsum(
-            "tec,ecd->td", combine.astype(jnp.float32),
+            "gtec,gecd->gtd", combine.astype(jnp.float32),
             out.astype(jnp.float32),
-        )                                                        # (T, D)
+        )                                                        # (G, gs, D)
         if shard:
             from ddm_tpu.parallel.tp import tp_region_exit
 
             part = tp_region_exit(part, self.tp_axis)
-        return part.astype(self.dtype)
+        return part.reshape(T, D).astype(self.dtype)

@@ -239,6 +239,7 @@ def make_pipelined_apply(model, n_stages: int, n_microbatches: int):
         sequence_parallel=model.sequence_parallel,
         moe_experts=model.moe_experts,
         moe_capacity=model.moe_capacity,
+        moe_group_size=model.moe_group_size,
     )
     S = n_stages
     M = n_microbatches

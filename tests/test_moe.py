@@ -29,38 +29,44 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _moe_oracle(params, rows, num_experts, capacity_factor):
-    """Per-token reference: top-1 routing, first-come capacity, gate scale."""
+def _moe_oracle(params, rows, num_experts, capacity_factor, group_size=0):
+    """Per-token reference: top-1 routing, first-come PER-GROUP capacity,
+    gate scale."""
     p = params["params"]
     T, D = rows.shape
-    cap = int(-(-T * capacity_factor // num_experts))
+    gs = group_size if group_size > 0 else T
+    cap = int(-(-gs * capacity_factor // num_experts))
     logits = rows @ p["router_kernel"] + p["router_bias"]
     probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
     out = np.zeros((T, D), np.float32)
-    counts = [0] * num_experts
-    for t in range(T):
-        e = int(np.argmax(probs[t]))
-        if counts[e] >= cap:
-            continue  # dropped: residual only
-        counts[e] += 1
-        h = rows[t] @ p["experts_in"][e] + p["experts_in_bias"][e]
-        h = np.asarray(jax.nn.gelu(jnp.asarray(h), approximate=False))
-        y = h @ p["experts_out"][e] + p["experts_out_bias"][e]
-        out[t] = probs[t, e] * y
+    for g0 in range(0, T, gs):
+        counts = [0] * num_experts
+        for t in range(g0, g0 + gs):
+            e = int(np.argmax(probs[t]))
+            if counts[e] >= cap:
+                continue  # dropped: residual only
+            counts[e] += 1
+            h = rows[t] @ p["experts_in"][e] + p["experts_in_bias"][e]
+            h = np.asarray(jax.nn.gelu(jnp.asarray(h), approximate=False))
+            y = h @ p["experts_out"][e] + p["experts_out_bias"][e]
+            out[t] = probs[t, e] * y
     return out
 
 
-@pytest.mark.parametrize("capacity_factor", [2.0, 0.3])
-def test_moe_matches_per_token_oracle(capacity_factor):
-    """Dense einsum dispatch == per-token loop, incl. capacity drops."""
+@pytest.mark.parametrize("capacity_factor,group_size",
+                         [(2.0, 0), (0.3, 0), (2.0, 8), (0.5, 8)])
+def test_moe_matches_per_token_oracle(capacity_factor, group_size):
+    """Dense einsum dispatch == per-token loop, incl. capacity drops and
+    GShard-style per-group routing."""
     E, D, H, T = 4, 8, 16, 32
-    moe = MoEMLP(D, H, E, capacity_factor=capacity_factor)
+    moe = MoEMLP(D, H, E, capacity_factor=capacity_factor,
+                 group_size=group_size)
     rows = jax.random.normal(jax.random.PRNGKey(1), (T, D))
     params = moe.init(jax.random.PRNGKey(0), rows)
     got = moe.apply(params, rows)
     want = _moe_oracle(
         jax.tree.map(np.asarray, params), np.asarray(rows), E,
-        capacity_factor,
+        capacity_factor, group_size,
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
     if capacity_factor < 1.0:  # the drop path must actually engage

@@ -645,8 +645,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--moe-capacity", type=float, dest="moe_capacity",
                         default=MODEL_DEFAULTS["moe_capacity"],
                         help="per-expert token capacity factor: capacity = "
-                             "ceil(tokens/experts * factor); over-capacity "
+                             "ceil(group/experts * factor); over-capacity "
                              "tokens pass through the residual untouched")
+    parser.add_argument("--moe-group-size", type=int, dest="moe_group_size",
+                        default=MODEL_DEFAULTS["moe_group_size"],
+                        help="MoE routing group size (GShard-style): the "
+                             "dispatch einsums cost O(rows * group) FLOPs, "
+                             "so 0 (one group, exact) is quadratic in rows "
+                             "- set a few hundred for training shapes; "
+                             "capacity applies per group. Must divide "
+                             "batch/dp * m * tokens")
     parser.add_argument("--mlp-persist", type=int,
                         default=MODEL_DEFAULTS["mlp_persist"],
                         help="hybrid persist-residuals MLP backward: the "
