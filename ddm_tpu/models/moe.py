@@ -39,7 +39,38 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["MoEMLP"]
+__all__ = ["MoEMLP", "make_moe_aux_apply"]
+
+
+def make_moe_aux_apply(model, weight: float, method: Optional[str] = None):
+    """Denoiser apply fn that surfaces the Switch load-balance loss.
+
+    :class:`MoEMLP` sows its per-block aux term under the ``"losses"``
+    collection; a plain ``model.apply(params, ...)`` treats that collection
+    as immutable, so flax DROPS the sown values and the router trains only
+    through the gate-probability scaling of expert outputs — which lets
+    routing collapse onto a few experts. This wrapper runs apply with
+    ``mutable=["losses"]``, averages the per-block terms (the Switch
+    convention: one aux per MoE layer, mean over layers), scales by
+    ``weight`` (Switch uses 1e-2), and returns ``(x0hat, aux)`` — the tuple
+    form :func:`ddm_tpu.training.distributional_training_step` adds to the
+    energy loss and reports as the ``moe_aux`` metric.
+    """
+
+    def apply_fn(params, xt, t, xi):
+        kwargs = {"method": method} if method is not None else {}
+        out, mut = model.apply(params, xt, t, xi, mutable=["losses"],
+                               **kwargs)
+        terms = jax.tree.leaves(dict(mut).get("losses", {}))
+        if not terms:
+            raise ValueError(
+                "make_moe_aux_apply wrapped a model that sows no 'losses' "
+                "collection (moe_experts == 0?)"
+            )
+        aux = (weight / len(terms)) * sum(terms)
+        return out, aux
+
+    return apply_fn
 
 
 class MoEMLP(nn.Module):
@@ -127,10 +158,14 @@ class MoEMLP(nn.Module):
             pos.astype(jnp.int32), cap, dtype=jnp.float32
         )                                                        # (G, gs, E, C)
 
-        # Switch load-balance aux: E * sum_e f_e * P_e (==1 when uniform)
-        frac = jnp.mean(onehot, axis=(0, 1))
-        mean_p = jnp.mean(probs, axis=(0, 1))
-        self.sow("losses", "moe_aux", E * jnp.sum(frac * mean_p))
+        # Switch load-balance aux: E * sum_e f_e * P_e (==1 when uniform).
+        # NOT sown during init: flax init returns every mutable collection,
+        # and a sown scalar inside the init variables would ride into the
+        # TrainState param tree (AdamW would weight-decay it).
+        if not self.is_initializing():
+            frac = jnp.mean(onehot, axis=(0, 1))
+            mean_p = jnp.mean(probs, axis=(0, 1))
+            self.sow("losses", "moe_aux", E * jnp.sum(frac * mean_p))
 
         if shard:
             s = jax.lax.axis_index(self.tp_axis)

@@ -107,6 +107,14 @@ def distributional_training_step(
     Reference parity: ``/root/reference/dddm/training.py:32-93``. Returns the
     loss plus a metrics dict of on-device scalars (no host sync — callers
     decide when to flush).
+
+    ``apply_fn`` may return ``(x0hat, aux)`` instead of a bare ``x0hat``:
+    ``aux`` is an already-weighted auxiliary scalar loss (e.g. the Switch
+    load-balance loss from :func:`ddm_tpu.models.moe.make_moe_aux_apply`)
+    added to the energy loss and reported under the ``moe_aux`` metric key.
+    The reference has no auxiliary losses, so the metric-key contract
+    {loss, confidence, interaction, weight} is unchanged when apply_fn
+    returns a bare array.
     """
     if m < 2:
         raise ValueError("m must be >= 2 to form interaction pairs")
@@ -128,7 +136,8 @@ def distributional_training_step(
     xi_flat = xi.reshape((batch * m,) + x0.shape[1:])
     t_rep = jnp.repeat(t, m)
 
-    x0hat = apply_fn(params, xt_rep, t_rep, xi_flat)
+    out = apply_fn(params, xt_rep, t_rep, xi_flat)
+    x0hat, aux = out if isinstance(out, tuple) else (out, None)
     x0hat = x0hat.reshape(batch, m, -1)
 
     # The energy terms reduce over the flattened data axis, which is
@@ -150,6 +159,10 @@ def distributional_training_step(
         "interaction": inter,
         "weight": weight,
     }
+    if aux is not None:
+        loss = loss + aux
+        metrics["loss"] = loss
+        metrics["moe_aux"] = aux
     return loss, metrics
 
 

@@ -157,6 +157,66 @@ def test_ep_train_step_matches_oracle():
         )
 
 
+def test_moe_aux_matches_numpy_and_reaches_the_loss():
+    """The sown Switch load-balance term equals independent numpy math on
+    the block's router inputs, and make_moe_aux_apply actually delivers it
+    into the training loss (a bare apply drops the sown collection)."""
+    from ddm_tpu.models.moe import make_moe_aux_apply
+    from ddm_tpu.training import distributional_training_step
+
+    E, D, H, T = 4, 8, 16, 32
+    moe = MoEMLP(D, H, E, capacity_factor=2.0)
+    rows = jax.random.normal(jax.random.PRNGKey(1), (T, D))
+    params = moe.init(jax.random.PRNGKey(0), rows)
+    _, mut = moe.apply(params, rows, mutable=["losses"])
+    (sown,) = jax.tree.leaves(mut["losses"])
+
+    p = jax.tree.map(np.asarray, params)["params"]
+    logits = np.asarray(rows) @ p["router_kernel"] + p["router_bias"]
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    onehot = np.eye(E, dtype=np.float32)[np.argmax(probs, axis=-1)]
+    want = E * float(np.sum(onehot.mean(0) * probs.mean(0)))
+    np.testing.assert_allclose(float(sown), want, rtol=1e-5)
+
+    # aux gradient flows into the router (through mean softmax probs)
+    def aux_of(prms):
+        _, m2 = moe.apply(prms, rows, mutable=["losses"])
+        return jax.tree.leaves(m2["losses"])[0]
+
+    g = jax.grad(aux_of)(params)["params"]["router_kernel"]
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+    # end-to-end through the training step: loss(aux) == loss(no aux) + aux
+    full, _, dit_params = _moe_dit_pair(tp=1)
+    hp = dict(m=2, beta=0.1, lam=1.0, w_bias=0.0)
+    key = jax.random.PRNGKey(7)
+    x0 = jax.random.normal(jax.random.PRNGKey(8), (4, 8, 8, 3))
+    base_loss, base_metrics = distributional_training_step(
+        full.apply, dit_params, key, x0, **hp)
+    assert "moe_aux" not in base_metrics  # bare apply: contract unchanged
+
+    w = 0.01
+    aux_apply = make_moe_aux_apply(full, w)
+    loss, metrics = distributional_training_step(
+        aux_apply, dit_params, key, x0, **hp)
+    assert float(metrics["moe_aux"]) > 0.0
+    np.testing.assert_allclose(
+        float(loss), float(base_loss) + float(metrics["moe_aux"]), rtol=1e-6)
+    # mean over the 2 MoE blocks, scaled by the weight
+    assert float(metrics["moe_aux"]) < w * 2.0  # aux/block is O(1)
+
+
+def test_moe_aux_apply_rejects_dense_model():
+    from ddm_tpu.models.moe import make_moe_aux_apply
+
+    dense = DDDMDiT(img_size=8, patch_size=2, embed_dim=32, depth=1,
+                    num_heads=2, time_embed_dim=16, data_format="NHWC")
+    xt = jnp.zeros((1, 8, 8, 3))
+    params = dense.init(jax.random.PRNGKey(0), xt, jnp.zeros((1,)), xt)
+    with pytest.raises(ValueError, match="sows no"):
+        make_moe_aux_apply(dense, 0.01)(params, xt, jnp.zeros((1,)), xt)
+
+
 def test_moe_validation():
     with pytest.raises(ValueError, match="divisible"):
         DDDMDiT(img_size=8, patch_size=2, embed_dim=32, depth=1,

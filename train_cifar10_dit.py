@@ -271,8 +271,14 @@ def train(args: argparse.Namespace) -> None:
     else:
         step_model = build_model(args, tp_axis="model") if args.tp > 1 else model
 
-        def step_apply(p, xt, t, xi):
-            return step_model.apply(p, xt, t, xi, method="tokens")
+        if args.moe_experts > 1 and args.moe_aux_weight > 0:
+            from ddm_tpu.models.moe import make_moe_aux_apply
+
+            step_apply = make_moe_aux_apply(
+                step_model, args.moe_aux_weight, method="tokens")
+        else:
+            def step_apply(p, xt, t, xi):
+                return step_model.apply(p, xt, t, xi, method="tokens")
 
     step_fn = make_sharded_train_step(
         step_apply, mesh, state_shardings,
@@ -655,6 +661,14 @@ def build_parser() -> argparse.ArgumentParser:
                              "- set a few hundred for training shapes; "
                              "capacity applies per group. Must divide "
                              "batch/dp * m * tokens")
+    parser.add_argument("--moe-aux-weight", type=float,
+                        dest="moe_aux_weight", default=0.01,
+                        help="weight of the Switch load-balance auxiliary "
+                             "loss (mean over MoE blocks, added to the "
+                             "energy loss and logged as moe_aux); 0 "
+                             "disables it - the router then trains only "
+                             "through gate scaling and routing can "
+                             "collapse onto few experts")
     parser.add_argument("--mlp-persist", type=int,
                         default=MODEL_DEFAULTS["mlp_persist"],
                         help="hybrid persist-residuals MLP backward: the "
@@ -747,6 +761,10 @@ def main(argv: Optional[list] = None) -> None:
         if args.mlp_persist:
             parser.error("--mlp-persist applies to the dense MLP half, "
                          "which --moe-experts replaces")
+        if args.pp > 1 and args.moe_aux_weight > 0:
+            parser.error("--moe-experts with --pp needs --moe-aux-weight 0: "
+                         "the staged block scan does not thread the sown "
+                         "load-balance collection out of the pipeline")
     if args.fsdp and args.tp > 1:
         parser.error("--fsdp composes with data parallelism only: the "
                      "shape-based FSDP placement conflicts with the Megatron "
