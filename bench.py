@@ -53,7 +53,7 @@ BASELINE_IMGS_PER_SEC_A100_EAGER = 1370.0
 def dit_train_flops_per_image(
     *, img: int, patch: int, dim: int, depth: int, heads: int,
     time_dim: int, mlp_ratio: float, m: int, channels: int = 3,
-    remat: bool = False,
+    remat: bool = False, moe_experts: int = 0, moe_capacity: float = 1.25,
 ) -> float:
     """Audited MODEL-FLOPs (matmul 2*M*N*K convention) per DATA image for
     one training step: forward + backward (= 3x forward) for each of the m
@@ -64,14 +64,29 @@ def dit_train_flops_per_image(
     ops, the energy-score reduction, and the attention kernel's g-way
     packing waste are excluded, so the MFU derived from this is the
     standard *model* FLOPs utilisation, reproducible from this function.
+
+    With ``moe_experts > 1`` the dense MLP is the top-1-routed expert MLP:
+    model FLOPs = router (2*N*D*E) + the expert FFN over the
+    ``capacity_factor`` * N slots actually computed (GShard-style MFU
+    accounting). The one-hot dispatch/combine einsums are implementation
+    overhead (algorithmically a gather/scatter), excluded like the
+    attention kernel's packing waste — so MoE MFU reads as "useful FFN
+    throughput", comparable with the dense rows.
     """
     n_tok = (img // patch) ** 2
     d_head_total = dim  # H * Dh == dim
+    if moe_experts > 1:
+        mlp_flops = (
+            2 * n_tok * dim * moe_experts                    # router
+            + moe_capacity * 2 * 2 * n_tok * dim * int(dim * mlp_ratio)
+        )
+    else:
+        mlp_flops = 2 * 2 * n_tok * dim * int(dim * mlp_ratio)
     per_block = (
         2 * n_tok * dim * 3 * dim          # qkv projection
         + 4 * n_tok * n_tok * d_head_total  # q@k^T and p@v over all heads
         + 2 * n_tok * dim * dim            # output projection
-        + 2 * 2 * n_tok * dim * int(dim * mlp_ratio)  # MLP in + out
+        + mlp_flops                         # MLP in + out (dense or MoE)
     )
     embed = (
         2 * n_tok * (2 * channels * patch * patch) * dim  # patch embed
@@ -259,6 +274,14 @@ def main() -> None:
                         "HBM per DiT-B block; only meaningful at widths "
                         "where the in-VMEM backward kernel gates off "
                         "(DiT-B: 12 -> +5%%; DiT-L b128: 24 -> +6.3%%)")
+    p.add_argument("--moe-experts", type=int, default=0,
+                   help="top-1-routed expert MLPs instead of the dense MLP "
+                        "half (0 = dense); single-chip bench runs all "
+                        "experts locally")
+    p.add_argument("--moe-group-size", type=int, default=512,
+                   help="GShard routing group size (dispatch einsums are "
+                        "quadratic in the group; must divide batch*m*tokens)")
+    p.add_argument("--moe-capacity", type=float, default=1.25)
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "sample", "eval"],
                    help="train: images/sec/chip of the training step; "
@@ -299,6 +322,8 @@ def main() -> None:
         data_format="NHWC", attention_impl=args.attention,
         fused_mlp=args.tp == 1, remat=args.remat,
         mlp_persist_blocks=args.mlp_persist,
+        moe_experts=args.moe_experts, moe_capacity=args.moe_capacity,
+        moe_group_size=args.moe_group_size,
     )
     key = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
@@ -362,10 +387,18 @@ def main() -> None:
     from ddm_tpu.models.dit import patchify_images
 
     K = max(args.steps_per_scan, 1)
-    step = make_sharded_train_step(
+    if args.moe_experts > 1:
+        from ddm_tpu.models.moe import make_moe_aux_apply
+
+        # production MoE config: Switch load-balance aux at 0.01
+        apply_fn = make_moe_aux_apply(model, 0.01, method="tokens")
+    else:
         # token-space loss: permutation-invariant energy score consumes
         # DDDMDiT.tokens directly, skipping unpatchify in fwd+bwd
-        lambda p, xt, t, xi: model.apply(p, xt, t, xi, method="tokens"),
+        def apply_fn(p, xt, t, xi):
+            return model.apply(p, xt, t, xi, method="tokens")
+    step = make_sharded_train_step(
+        apply_fn,
         mesh, shardings, m=args.m, beta=0.1, lam=1.0, w_bias=0.0,
         preprocess=lambda k, b: augment_cifar10(k, b),
         steps_per_scan=K,
@@ -407,7 +440,8 @@ def main() -> None:
     mfu_flops, hw_flops = dit_train_flops_per_image(
         img=32, patch=args.patch_size, dim=args.embed_dim, depth=args.depth,
         heads=args.heads, time_dim=256, mlp_ratio=4.0, m=args.m,
-        remat=args.remat,
+        remat=args.remat, moe_experts=args.moe_experts,
+        moe_capacity=args.moe_capacity,
     )
     model_tflops_per_step = mfu_flops * args.batch / 1e12
     hw_tflops_per_step = hw_flops * args.batch / 1e12
@@ -436,7 +470,8 @@ def main() -> None:
         "dtype": args.dtype,
         "step_ms": round(1000 * dt / total_steps, 2),
         "steps_per_scan": K,
-        "model": f"dim{args.embed_dim}-d{args.depth}-h{args.heads}-p{args.patch_size}",
+        "model": f"dim{args.embed_dim}-d{args.depth}-h{args.heads}-p{args.patch_size}"
+                 + (f"-moe{args.moe_experts}" if args.moe_experts > 1 else ""),
         "loss": final_loss,
         "model_tflops_per_step": round(model_tflops_per_step, 3),
         "achieved_model_tflops_per_sec_per_chip": round(achieved, 2),

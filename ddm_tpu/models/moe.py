@@ -176,16 +176,32 @@ class MoEMLP(nn.Module):
             local = dispatch
 
         comp = self.dtype
-        xin = jnp.einsum("gtec,gtd->gecd", local.astype(comp),
-                         rows_g.astype(comp))                    # (G, El, C, D)
-        h = jnp.einsum("gecd,edf->gecf", xin, w1.astype(comp))
-        h = nn.gelu(h + b1[None, :, None, :].astype(comp), approximate=False)
-        out = jnp.einsum("gecf,efd->gecd", h, w2.astype(comp))
-        out = out + b2[None, :, None, :].astype(comp)            # (G, El, C, D)
+        el = e_local if shard else E
+        # Dispatch emits (El, G, C, D) and the expert FFN runs on each
+        # expert's G*C slots FLATTENED into one matmul: einsums batched
+        # over (G, El) pairs lower to C-row matmuls (C ~= 40 at the
+        # production group size — under half an MXU tile; measured
+        # ~4.6 ms/step/block of expert-FFN time at the DiT-S bench shape
+        # vs ~1.6 for the flat form), so the group dim must stay out of
+        # the FFN's batch dims.
+        xin = jnp.einsum("gtec,gtd->egcd", local.astype(comp),
+                         rows_g.astype(comp))                    # (El, G, C, D)
+        xin = xin.reshape(el, G * cap, D)
+        from ddm_tpu.ops.expert_ffn import (expert_ffn, expert_ffn_ok,
+                                            expert_ffn_reference)
+
+        if expert_ffn_ok(el, G * cap, D, self.hidden):
+            # one Pallas kernel: hidden activations never touch HBM, dW
+            # accumulates in VMEM (XLA ran this einsum pair at ~45 TF/s
+            # fwd / ~9% MFU bwd at the production shape — expert_ffn.py)
+            out = expert_ffn(xin, w1, b1, w2, b2)
+        else:
+            out = expert_ffn_reference(xin, w1, b1, w2, b2, dtype=comp)
+        out = out.reshape(el, G, cap, D)
 
         combine = local * gate[..., None, None].astype(jnp.float32)
         part = jnp.einsum(
-            "gtec,gecd->gtd", combine.astype(jnp.float32),
+            "gtec,egcd->gtd", combine.astype(jnp.float32),
             out.astype(jnp.float32),
         )                                                        # (G, gs, D)
         if shard:

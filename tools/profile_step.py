@@ -41,6 +41,7 @@ def build_step(args):
         depth=args.depth, num_heads=args.heads, time_embed_dim=256,
         dtype=jnp.bfloat16, data_format="NHWC", attention_impl="auto",
         fused_mlp=True, remat=args.remat,
+        moe_experts=args.moe_experts, moe_group_size=args.moe_group_size,
     )
     key = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
@@ -49,8 +50,15 @@ def build_step(args):
                      optax.adamw(1e-4, weight_decay=0.01))
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     state, shardings = place_train_state(state, mesh, REPLICATED_RULES)
+    if args.moe_experts > 1:
+        from ddm_tpu.models.moe import make_moe_aux_apply
+
+        apply_fn = make_moe_aux_apply(model, 0.01, method="tokens")
+    else:
+        def apply_fn(p, xt, t, xi):
+            return model.apply(p, xt, t, xi, method="tokens")
     step = make_sharded_train_step(
-        lambda p, xt, t, xi: model.apply(p, xt, t, xi, method="tokens"),
+        apply_fn,
         mesh, shardings, m=args.m, beta=0.1, lam=1.0, w_bias=0.0,
         preprocess=lambda k, b: augment_cifar10(k, b),
         target_transform=lambda x0: patchify_images(x0, args.patch_size),
@@ -113,6 +121,8 @@ def main():
     ap.add_argument("--heads", type=int, default=6)
     ap.add_argument("--patch-size", type=int, default=4)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--moe-experts", type=int, default=0)
+    ap.add_argument("--moe-group-size", type=int, default=512)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--logdir", type=str, default="/tmp/ddm_profile")
     args = ap.parse_args()
