@@ -165,8 +165,44 @@ def train(args: argparse.Namespace) -> None:
                 MODEL_AXIS))
         else:
             tx_parts.append(optax.clip_by_global_norm(args.grad_clip))
-    tx_parts.append(optax.adamw(args.lr, weight_decay=args.weight_decay))
+    # Learning-rate schedule (capability addition: the reference trains at
+    # a constant lr, /root/reference/train_cifar10_dit.py:128-130 — the
+    # default here stays faithful to that). The schedule is a pure
+    # function of the optimizer step, so it lives inside the compiled
+    # step and survives --resume (state.step is checkpointed).
+    steps_per_epoch_sched = len(train_loader)
+    lr: Any = args.lr
+    total_steps = args.epochs * steps_per_epoch_sched
+    if args.lr_schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=args.lr,
+            warmup_steps=args.warmup_steps,
+            decay_steps=max(total_steps, args.warmup_steps + 1),
+            end_value=args.lr_min,
+        )
+    elif args.lr_schedule == "linear":
+        lr = optax.join_schedules(
+            [optax.linear_schedule(0.0, args.lr, args.warmup_steps),
+             optax.linear_schedule(
+                 args.lr, args.lr_min,
+                 max(total_steps - args.warmup_steps, 1))],
+            [args.warmup_steps],
+        )
+    elif args.warmup_steps > 0:
+        lr = optax.join_schedules(
+            [optax.linear_schedule(0.0, args.lr, args.warmup_steps),
+             optax.constant_schedule(args.lr)],
+            [args.warmup_steps],
+        )
+    lr_at = lr if callable(lr) else (lambda step: args.lr)
+    tx_parts.append(optax.adamw(lr, weight_decay=args.weight_decay))
     tx = optax.chain(*tx_parts)
+    if args.grad_accum > 1:
+        # accumulate raw gradients for N micro-steps on-device and apply
+        # the full chain (clip + AdamW) to their mean every N-th call:
+        # effective batch = --batch * N without the activation memory.
+        # state.step counts micro-steps (the lr schedule sees them too).
+        tx = optax.MultiSteps(tx, every_k_schedule=args.grad_accum)
     state = TrainState.create(apply_fn=model.apply, params=state_params, tx=tx)
 
     start_epoch = 1
@@ -327,7 +363,8 @@ def train(args: argparse.Namespace) -> None:
                         epoch_sums[k] += float(v)
                     if wandb_run is not None:
                         wandb_run.log(
-                            {"train/epoch": epoch, "train/lr": args.lr,
+                            {"train/epoch": epoch,
+                             "train/lr": float(lr_at(base + i + 1)),
                              **{f"train/{k}": float(v) for k, v in mstep.items()}},
                             step=base + i + 1,
                         )
@@ -558,6 +595,24 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--epochs", type=int, default=10)
     parser.add_argument("--batch", type=int, default=128)
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--lr-schedule", type=str, dest="lr_schedule",
+                        default="constant",
+                        choices=["constant", "cosine", "linear"],
+                        help="learning-rate schedule over the full run "
+                             "(constant = reference behaviour); cosine/"
+                             "linear decay from --lr to --lr-min after "
+                             "--warmup-steps of linear warmup")
+    parser.add_argument("--warmup-steps", type=int, dest="warmup_steps",
+                        default=0,
+                        help="linear lr warmup steps from 0 to --lr "
+                             "(composes with every --lr-schedule)")
+    parser.add_argument("--lr-min", type=float, dest="lr_min", default=0.0,
+                        help="final lr for the cosine/linear schedules")
+    parser.add_argument("--grad-accum", type=int, dest="grad_accum",
+                        default=1,
+                        help="accumulate gradients over N micro-steps and "
+                             "apply the optimizer to their mean every N-th "
+                             "(effective batch = batch * N); 1 = off")
     parser.add_argument("--weight-decay", type=float, default=0.01)
     parser.add_argument("--beta", type=float, default=0.1)
     parser.add_argument("--lam", type=float, default=1.0)
@@ -736,6 +791,10 @@ def main(argv: Optional[list] = None) -> None:
         jax.config.update("jax_debug_nans", True)
     if args.m < 2:
         parser.error("m must be >= 2 for the generalized energy score")
+    if args.grad_accum < 1:
+        parser.error("--grad-accum must be >= 1")
+    if args.warmup_steps < 0:
+        parser.error("--warmup-steps must be >= 0")
     if args.tp > 1:
         hidden = int(args.embed_dim * args.mlp_ratio)
         if args.embed_dim % args.tp or args.heads % args.tp or hidden % args.tp:
