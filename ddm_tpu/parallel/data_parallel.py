@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..training import TrainState, make_loss_fn
+from ..training import TrainState, make_loss_fn, update_ema
 from .fsdp import combine_fsdp_grads, gather_tree
 from .mesh import DATA_AXIS
 from .sharding import REPLICATED_RULES, train_state_shardings
@@ -65,6 +65,7 @@ def make_sharded_train_step(
     steps_per_scan: int = 1,
     target_transform: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     fsdp: bool = False,
+    ema_decay: float = 0.9999,
 ):
     """Build a jitted ``(state, key, batch) -> (state, metrics)`` step.
 
@@ -160,6 +161,10 @@ def make_sharded_train_step(
                 metrics = jax.tree.map(
                     lambda v: jax.lax.pmean(v, DATA_AXIS), metrics)
         new_state = state.apply_gradients(grads=grads)
+        if state.ema_params is not None:
+            # EMA leaves shard identically to their params (same tree, same
+            # path rules), so this is collective-free under every layout
+            new_state = update_ema(new_state, ema_decay)
         return new_state, metrics
 
     if steps_per_scan > 1:

@@ -56,7 +56,32 @@ MetricDict = Dict[str, jnp.ndarray]
 
 
 class TrainState(train_state.TrainState):
-    """Standard Flax train state (params + optax state + step counter)."""
+    """Flax train state (params + optax state + step counter), optionally
+    carrying an exponential moving average of the parameters.
+
+    ``ema_params`` (capability addition; the reference has no EMA) is
+    ``None`` when EMA is off — every step builder, sharding rule, and
+    checkpoint path then behaves exactly as before (``None`` is an empty
+    pytree). When present it is a tree congruent with ``params`` and is
+    sharded/checkpointed alongside them; eval and sampling prefer it
+    (the standard diffusion-model practice, e.g. DiT/ADM).
+    """
+
+    ema_params: Any = None
+
+
+def update_ema(state: TrainState, decay: float) -> TrainState:
+    """One EMA step: ``ema += (1 - decay) * (params - ema)`` (fp32 leaves).
+
+    Pure tree math — runs inside the compiled training step under any
+    sharding (EMA leaves shard identically to their parameters, so no
+    collectives are needed).
+    """
+    new_ema = jax.tree.map(
+        lambda e, p: e + (1.0 - decay) * (p.astype(e.dtype) - e),
+        state.ema_params, state.params,
+    )
+    return state.replace(ema_params=new_ema)
 
 
 @dataclass
@@ -190,6 +215,7 @@ def make_train_step(
     w_bias: float,
     axis_name: Optional[str] = None,
     jit: bool = True,
+    ema_decay: float = 0.9999,
 ):
     """Build a ``(state, key, x0) -> (state, metrics)`` update.
 
@@ -198,7 +224,8 @@ def make_train_step(
     When ``axis_name`` is given, gradients and metrics are ``pmean``-reduced
     across that mesh axis (used by ``shard_map``-style data parallelism;
     under ``jit`` + ``NamedSharding`` XLA inserts the collectives itself and
-    ``axis_name`` should stay ``None``).
+    ``axis_name`` should stay ``None``). States carrying ``ema_params``
+    get an :func:`update_ema` step at ``ema_decay`` fused in.
     """
     loss_fn = make_loss_fn(apply_fn, m=m, beta=beta, lam=lam, w_bias=w_bias)
 
@@ -210,6 +237,8 @@ def make_train_step(
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.tree.map(lambda v: jax.lax.pmean(v, axis_name), metrics)
         new_state = state.apply_gradients(grads=grads)
+        if state.ema_params is not None:
+            new_state = update_ema(new_state, ema_decay)
         return new_state, metrics
 
     if jit:

@@ -79,6 +79,9 @@ def save_train_state(path: str, state: Any, config: Optional[Dict] = None) -> st
         "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
         "config_json": json.dumps(config or {}, default=str),
     }
+    ema = getattr(state, "ema_params", None)
+    if ema is not None:
+        payload["ema_params"] = serialization.to_state_dict(_to_host(ema))
     data = serialization.msgpack_serialize(payload)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -88,13 +91,14 @@ def save_train_state(path: str, state: Any, config: Optional[Dict] = None) -> st
     return path
 
 
-def load_params(path: str) -> Tuple[Any, Dict]:
+def load_params(path: str, ema: bool = False) -> Tuple[Any, Dict]:
     """Load just (params state-dict, config) from ANY ddm_tpu checkpoint —
     both the params-only :func:`save_checkpoint` payload and the full
     :func:`save_train_state` payload carry a ``params`` entry. Used by
     inference-only consumers (``generate.py``) that have no TrainState
     template to restore into; the returned nested plain dict is directly
-    consumable by ``model.apply``.
+    consumable by ``model.apply``. ``ema=True`` selects the EMA parameter
+    average instead (raises when the checkpoint carries none).
 
     Pipeline-parallel runs (``--pp``) checkpoint their TrainState in the
     staged ``{'embed', 'stages'}`` layout (the optimizer state mirrors it,
@@ -108,7 +112,11 @@ def load_params(path: str) -> Tuple[Any, Dict]:
         if magic != _MAGIC:
             raise ValueError(f"{path} is not a ddm_tpu checkpoint")
         payload = serialization.msgpack_restore(f.read())
-    params = payload["params"]
+    if ema and "ema_params" not in payload:
+        raise ValueError(
+            f"{path} carries no EMA parameters (trained without --ema-decay)"
+        )
+    params = payload["ema_params"] if ema else payload["params"]
     if isinstance(params, dict) and set(params.keys()) == {"embed", "stages"}:
         from ddm_tpu.parallel.pipeline import from_pipeline_params
 
@@ -132,6 +140,15 @@ def restore_train_state(path: str, state: Any) -> Tuple[Any, Dict]:
     new_state = state.replace(
         step=payload["step"], params=params, opt_state=opt_state
     )
+    if getattr(state, "ema_params", None) is not None:
+        if "ema_params" in payload:
+            new_state = new_state.replace(ema_params=serialization.from_state_dict(
+                state.ema_params, payload["ema_params"]))
+        else:
+            # resuming an EMA run from a pre-EMA checkpoint: restart the
+            # average from the restored params (the standard cold-start)
+            new_state = new_state.replace(
+                ema_params=jax.tree.map(lambda p: p, params))
     return new_state, json.loads(payload["config_json"])
 
 

@@ -79,12 +79,16 @@ def main(argv: Optional[list] = None) -> None:
                         "(0 = all visible devices; 1 = single-device). "
                         "Samples are i.i.d. so batch inference scales with "
                         "zero collectives — the serving path for pods")
+    p.add_argument("--ema", action="store_true",
+                   help="sample from the checkpoint's EMA parameter average "
+                        "(requires a run trained with --ema-decay; errors "
+                        "loudly when the checkpoint carries none)")
     args = p.parse_args(argv)
     if args.fast_gelu:
         os.environ["DDM_TPU_FAST_GELU"] = "1"
 
     path = _resolve_ckpt(args.ckpt)
-    params, config = ckpt_lib.load_params(path)
+    params, config = ckpt_lib.load_params(path, ema=args.ema)
     if args.config:
         # Overlay semantics: a partial override file changes only the keys
         # it names; everything else keeps the checkpointed run's values

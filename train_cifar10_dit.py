@@ -203,7 +203,13 @@ def train(args: argparse.Namespace) -> None:
         # effective batch = --batch * N without the activation memory.
         # state.step counts micro-steps (the lr schedule sees them too).
         tx = optax.MultiSteps(tx, every_k_schedule=args.grad_accum)
-    state = TrainState.create(apply_fn=model.apply, params=state_params, tx=tx)
+    state = TrainState.create(
+        apply_fn=model.apply, params=state_params, tx=tx,
+        # EMA rides in the TrainState so it shards, checkpoints, and
+        # resumes with everything else; fp32 copy of the initial params
+        ema_params=(jax.tree.map(jnp.copy, state_params)
+                    if args.ema_decay > 0 else None),
+    )
 
     start_epoch = 1
     if args.resume:
@@ -233,21 +239,33 @@ def train(args: argparse.Namespace) -> None:
         Pipeline layout stores params as {'embed', 'stages'} with the
         stage stack sharded over ``pipe``; sampling and eval run the plain
         full model, so gather the stages and re-pack to ``block_i``
-        subtrees. No-op for every other layout.
+        subtrees (the EMA tree rides along identically). No-op for every
+        other layout. When EMA is on, sampling/eval consume the EMA
+        average (standard diffusion practice) — ``params`` is swapped for
+        ``ema_params`` here, which only eval-side consumers see.
         """
-        if args.pp <= 1:
-            return s
-        from ddm_tpu.parallel import from_pipeline_params, replicate_tree
+        if args.pp > 1:
+            from ddm_tpu.parallel import from_pipeline_params, replicate_tree
 
-        gathered = replicate_tree(s.params)
-        if jax.process_count() > 1:
-            gathered = jax.tree.map(
-                lambda a: jnp.asarray(a.addressable_data(0))
-                if isinstance(a, jax.Array) and not a.is_fully_addressable
-                else a,
-                gathered,
+            def repack(tree):
+                gathered = replicate_tree(tree)
+                if jax.process_count() > 1:
+                    gathered = jax.tree.map(
+                        lambda a: jnp.asarray(a.addressable_data(0))
+                        if isinstance(a, jax.Array) and not a.is_fully_addressable
+                        else a,
+                        gathered,
+                    )
+                return from_pipeline_params(gathered)
+
+            s = s.replace(
+                params=repack(s.params),
+                ema_params=None if s.ema_params is None
+                else repack(s.ema_params),
             )
-        return s.replace(params=from_pipeline_params(gathered))
+        if s.ema_params is not None:
+            s = s.replace(params=s.ema_params)
+        return s
 
     if args.dry_eval:
         # Rehearse the FULL evaluation protocol end-to-end with zero
@@ -323,6 +341,7 @@ def train(args: argparse.Namespace) -> None:
         dp_shard_map=True if (args.tp > 1 or args.fsdp or args.pp > 1) else None,
         target_transform=lambda x0: patchify_images(x0, args.patch_size),
         fsdp=args.fsdp,
+        ema_decay=args.ema_decay,
     )
 
     global_step = int(state.step)
@@ -613,6 +632,13 @@ def build_parser() -> argparse.ArgumentParser:
                         help="accumulate gradients over N micro-steps and "
                              "apply the optimizer to their mean every N-th "
                              "(effective batch = batch * N); 1 = off")
+    parser.add_argument("--ema-decay", type=float, dest="ema_decay",
+                        default=0.0,
+                        help="exponential moving average of the parameters "
+                             "at this decay (e.g. 0.9999); sampling and "
+                             "eval then use the EMA weights, checkpoints "
+                             "carry both (generate.py --ema selects them); "
+                             "0 = off (reference behaviour)")
     parser.add_argument("--weight-decay", type=float, default=0.01)
     parser.add_argument("--beta", type=float, default=0.1)
     parser.add_argument("--lam", type=float, default=1.0)
@@ -795,6 +821,8 @@ def main(argv: Optional[list] = None) -> None:
         parser.error("--grad-accum must be >= 1")
     if args.warmup_steps < 0:
         parser.error("--warmup-steps must be >= 0")
+    if not 0.0 <= args.ema_decay < 1.0:
+        parser.error("--ema-decay must be in [0, 1)")
     if args.tp > 1:
         hidden = int(args.embed_dim * args.mlp_ratio)
         if args.embed_dim % args.tp or args.heads % args.tp or hidden % args.tp:
