@@ -142,7 +142,8 @@ def test_shipped_configs_parse_against_cifar_cli():
 
     import yaml
 
-    for name in ("cifar10_dit.yaml", "cifar10_dit_b.yaml"):
+    for name in ("cifar10_dit.yaml", "cifar10_dit_b.yaml",
+                 "cifar10_dit_l.yaml", "cifar10_dit_moe.yaml"):
         path = os.path.join(os.path.dirname(cifar_cli.__file__), "configs", name)
         with open(path) as f:
             data = yaml.safe_load(f)
