@@ -187,16 +187,14 @@ class MoEMLP(nn.Module):
         xin = jnp.einsum("gtec,gtd->egcd", local.astype(comp),
                          rows_g.astype(comp))                    # (El, G, C, D)
         xin = xin.reshape(el, G * cap, D)
-        from ddm_tpu.ops.expert_ffn import (expert_ffn, expert_ffn_ok,
-                                            expert_ffn_reference)
+        from ddm_tpu.ops.expert_ffn import expert_ffn_auto
 
-        if expert_ffn_ok(el, G * cap, D, self.hidden):
-            # one Pallas kernel: hidden activations never touch HBM, dW
-            # accumulates in VMEM (XLA ran this einsum pair at ~45 TF/s
-            # fwd / ~9% MFU bwd at the production shape — expert_ffn.py)
-            out = expert_ffn(xin, w1, b1, w2, b2)
-        else:
-            out = expert_ffn_reference(xin, w1, b1, w2, b2, dtype=comp)
+        # tiered kernel dispatch (ops/expert_ffn.py): fully-fused Pallas
+        # kernel (hidden activations never touch HBM, per-expert in-VMEM
+        # dW — XLA ran this einsum pair at ~45 TF/s fwd / ~9% MFU bwd at
+        # the production shape), forward-only kernel at DiT-B+ widths,
+        # jnp reference off-TPU/odd shapes
+        out = expert_ffn_auto(xin, w1, b1, w2, b2, dtype=comp)
         out = out.reshape(el, G, cap, D)
 
         combine = local * gate[..., None, None].astype(jnp.float32)

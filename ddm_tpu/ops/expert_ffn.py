@@ -38,7 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .mlp_block import _act, _act_fwd_bwd, _pallas_call, _row_block
 from .pallas_config import kernels_enabled
 
-__all__ = ["expert_ffn", "expert_ffn_ok", "expert_ffn_reference"]
+__all__ = ["expert_ffn", "expert_ffn_auto", "expert_ffn_fwd_ok",
+           "expert_ffn_ok", "expert_ffn_reference"]
 
 
 def expert_ffn_reference(x, w1, b1, w2, b2, dtype=jnp.bfloat16):
@@ -183,3 +184,108 @@ def expert_ffn_ok(E: int, S: int, D: int, F: int) -> bool:
         and rb >= 64
         and 12 * D * F + rb * (D * 8 + F * 8) < 15 * 1024 * 1024
     )
+
+
+# Large-width tier (MoE at DiT-B width and beyond): at D=768/F=3072 the
+# backward's 12*D*F = 28 MB of weight+dW residents cannot fit, exactly as
+# for the dense half-block — the same split applies: Pallas FORWARD (one
+# HBM round trip), XLA backward over the saved inputs (autodiff of the
+# jnp reference).
+#
+# One expert-specific twist: the per-expert weight windows CHANGE across
+# the expert grid dim, so Mosaic DOUBLE-BUFFERS them (the dense kernel's
+# weights are constant over its whole grid and stay single-buffered) —
+# the measured scoped-vmem stack at D=768/F=3072 is 18.75 MB ≈
+# 2 * 4*D*F regardless of the row block. The budget below therefore
+# charges 8*D*F for the weight pair, and past that wall the forward
+# F-chunks: out = sum_c gelu(x @ w1[:,c] + b1[c]) @ w2[c,:] + b2 (GELU is
+# elementwise over hidden columns, so chunking is exact), k passes of a
+# partial kernel with fp32 partial sums added in XLA — the dense path's
+# `_mlp_fwd_fchunks` scheme.
+def _fwd_partial_kernel(x_ref, w1_ref, b1_ref, w2_ref, o_ref):
+    x = x_ref[0]
+    h = jnp.dot(x, w1_ref[0], preferred_element_type=jnp.float32) + b1_ref[0]
+    g = _act(h).astype(x_ref.dtype)
+    o_ref[0] = jnp.dot(g, w2_ref[0], preferred_element_type=jnp.float32)
+
+
+def _expert_fwd_fchunks(S: int, D: int, F: int) -> int:
+    """Smallest power-of-two F-chunk count whose forward kernel fits under
+    the double-buffered weight budget (1 = unchunked; 0 = nothing fits)."""
+    k = 1
+    while k <= 8:
+        fc = F // k
+        if F % (k * 128) == 0:
+            rb = _row_block(S, D, fc, fixed=8 * D * fc)
+            if (S % rb == 0
+                    and 8 * D * fc + rb * (D * 8 + fc * 8)
+                    < 15 * 1024 * 1024):
+                return k
+        k *= 2
+    return 0
+
+
+def _fwd_call_chunked(x, w1, b1, w2, b2, k):
+    E, S, D = x.shape
+    F = w1.shape[2]
+    fc = F // k
+    acc = None
+    for c in range(k):
+        w1c = w1[:, :, c * fc:(c + 1) * fc]
+        b1c = b1[:, c * fc:(c + 1) * fc]
+        w2c = w2[:, c * fc:(c + 1) * fc, :]
+        rb = _row_block(S, D, fc, fixed=8 * D * fc)
+        sp = _specs(E, S, D, fc, rb)
+        part = _pallas_call(
+            _fwd_partial_kernel,
+            out_shape=jax.ShapeDtypeStruct((E, S, D), jnp.float32),
+            grid=(E, S // rb),
+            in_specs=[sp["x"], sp["w1"], sp["vecF"], sp["w2"]],
+            out_specs=sp["x"],
+        )(x, w1c.astype(x.dtype), b1c.reshape(E, 1, fc), w2c.astype(x.dtype))
+        acc = part if acc is None else acc + part
+    return (acc + b2[:, None, :]).astype(x.dtype)
+
+
+@jax.custom_vjp
+def _expert_ffn_fwdonly(x, w1, b1, w2, b2):
+    k = _expert_fwd_fchunks(x.shape[1], x.shape[2], w1.shape[2])
+    return (_fwd_call(x, w1, b1, w2, b2) if k == 1
+            else _fwd_call_chunked(x, w1, b1, w2, b2, k))
+
+
+def _expert_ffn_fwdonly_fwd(x, w1, b1, w2, b2):
+    return _expert_ffn_fwdonly(x, w1, b1, w2, b2), (x, w1, b1, w2, b2)
+
+
+def _expert_ffn_fwdonly_bwd(res, do):
+    x = res[0]
+    _, vjp = jax.vjp(
+        lambda *a: expert_ffn_reference(*a, dtype=x.dtype), *res
+    )
+    return vjp(do.astype(x.dtype))
+
+
+_expert_ffn_fwdonly.defvjp(_expert_ffn_fwdonly_fwd, _expert_ffn_fwdonly_bwd)
+
+
+def expert_ffn_fwd_ok(E: int, S: int, D: int, F: int) -> bool:
+    return (
+        kernels_enabled()
+        and D % 128 == 0
+        and F % 128 == 0
+        and _expert_fwd_fchunks(S, D, F) > 0
+    )
+
+
+def expert_ffn_auto(x, w1, b1, w2, b2, dtype=jnp.bfloat16):
+    """Tier dispatch: fully-fused kernel when the backward residents fit,
+    fused forward + XLA backward at DiT-B+ widths, jnp reference
+    otherwise. Differentiable on every path."""
+    E, S, D = x.shape
+    F = w1.shape[2]
+    if expert_ffn_ok(E, S, D, F):
+        return expert_ffn(x, w1, b1, w2, b2)
+    if expert_ffn_fwd_ok(E, S, D, F):
+        return _expert_ffn_fwdonly(x, w1, b1, w2, b2)
+    return expert_ffn_reference(x, w1, b1, w2, b2, dtype=dtype)

@@ -77,6 +77,27 @@ def test_per_expert_accumulators_are_independent(interpret_kernels):
         )
 
 
+def test_fchunked_forward_matches_reference(interpret_kernels, monkeypatch):
+    """The F-chunked forward (double-buffered-weight wall at DiT-B+
+    widths) is exact up to the kernel's rational-erf GELU."""
+    monkeypatch.setattr(X, "_expert_fwd_fchunks", lambda S, D, F: 2)
+    args = _args()
+    got = X._expert_ffn_fwdonly(*args)
+    want = X.expert_ffn_reference(*args, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+    # gradients flow through the XLA-reference backward regardless of k
+    g = jax.grad(lambda *a: jnp.sum(X._expert_ffn_fwdonly(*a) ** 2),
+                 argnums=1)(*args)
+    gr = jax.grad(
+        lambda *a: jnp.sum(
+            X.expert_ffn_reference(*a, dtype=jnp.float32) ** 2),
+        argnums=1)(*args)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               rtol=3e-4, atol=3e-4)
+
+
 def test_gate():
     # off-TPU without interpret mode the kernel must not be selected
     assert not X.expert_ffn_ok(8, 20480, 384, 1536) or (
@@ -87,3 +108,34 @@ def test_gate():
 def test_gate_shapes(interpret_kernels):
     assert X.expert_ffn_ok(8, 20480, 384, 1536)   # DiT-S production shape
     assert not X.expert_ffn_ok(8, 20480, 8, 16)   # D % 128 != 0
+    # DiT-B width: backward residents (12*D*F = 28 MB) cannot fit, the
+    # forward-only tier (4*D*F = 9.4 MB) can — the dense path's split
+    assert not X.expert_ffn_ok(8, 20480, 768, 3072)
+    assert X.expert_ffn_fwd_ok(8, 20480, 768, 3072)
+
+
+def test_fwdonly_tier_gradients(interpret_kernels):
+    """The forward-only tier (Pallas fwd + XLA bwd over saved inputs) must
+    match the reference in value and grads."""
+    args = _args()
+
+    def loss_k(*a):
+        return jnp.sum(X._expert_ffn_fwdonly(*a).astype(jnp.float32) ** 2)
+
+    def loss_r(*a):
+        return jnp.sum(
+            X.expert_ffn_reference(*a, dtype=jnp.float32).astype(jnp.float32)
+            ** 2
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(X._expert_ffn_fwdonly(*args)),
+        np.asarray(X.expert_ffn_reference(*args, dtype=jnp.float32)),
+        rtol=2e-5, atol=2e-5,
+    )
+    gk = jax.grad(loss_k, argnums=tuple(range(5)))(*args)
+    gr = jax.grad(loss_r, argnums=tuple(range(5)))(*args)
+    for a, b, name in zip(gk, gr, ["dx", "dw1", "db1", "dw2", "db2"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-5, err_msg=name
+        )
