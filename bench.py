@@ -360,7 +360,8 @@ def main() -> None:
         mfu_flops, _ = dit_train_flops_per_image(
             img=32, patch=args.patch_size, dim=args.embed_dim,
             depth=args.depth, heads=args.heads, time_dim=256, mlp_ratio=4.0,
-            m=1,
+            m=1, moe_experts=args.moe_experts,
+            moe_capacity=args.moe_capacity,
         )
         fwd_flops = mfu_flops / 3.0  # counter reports fwd+bwd = 3x fwd
         sample_tflops = 20 * fwd_flops / 1e12
@@ -376,7 +377,8 @@ def main() -> None:
             "unit": "samples/sec/chip",
             "vs_baseline": round(sps / n_chips / 1630.0, 3),
             "chips": n_chips, "batch": B, "sampler_steps": 20,
-            "model": f"dim{args.embed_dim}-d{args.depth}-h{args.heads}-p{args.patch_size}",
+            "model": f"dim{args.embed_dim}-d{args.depth}-h{args.heads}-p{args.patch_size}"
+                     + (f"-moe{args.moe_experts}" if args.moe_experts > 1 else ""),
             "sample_tflops": round(sample_tflops, 4),
             "achieved_tflops_per_sec_per_chip": round(achieved, 2),
             "measured_matmul_peak_tflops": round(peak, 1),
