@@ -388,19 +388,14 @@ def main() -> None:
 
     from ddm_tpu.models.dit import patchify_images
 
-    K = max(args.steps_per_scan, 1)
-    if args.moe_experts > 1:
-        from ddm_tpu.models.moe import make_moe_aux_apply
+    from ddm_tpu.models.factory import make_tokens_apply
 
-        # production MoE config: Switch load-balance aux at 0.01
-        apply_fn = make_moe_aux_apply(model, 0.01, method="tokens")
-    else:
-        # token-space loss: permutation-invariant energy score consumes
-        # DDDMDiT.tokens directly, skipping unpatchify in fwd+bwd
-        def apply_fn(p, xt, t, xi):
-            return model.apply(p, xt, t, xi, method="tokens")
+    K = max(args.steps_per_scan, 1)
+    # token-space loss (permutation-invariant energy score consumes
+    # DDDMDiT.tokens directly, skipping unpatchify in fwd+bwd); MoE models
+    # get the Switch aux wired in at the production weight
     step = make_sharded_train_step(
-        apply_fn,
+        make_tokens_apply(model),
         mesh, shardings, m=args.m, beta=0.1, lam=1.0, w_bias=0.0,
         preprocess=lambda k, b: augment_cifar10(k, b),
         steps_per_scan=K,

@@ -102,3 +102,22 @@ def build_model(cfg: Any, tp_axis: Optional[str] = None) -> DDDMDiT:
         moe_capacity=float(get("moe_capacity")),
         moe_group_size=int(get("moe_group_size")),
     )
+
+
+def make_tokens_apply(model, moe_aux_weight: float = 0.01):
+    """Token-space denoiser apply fn for the training step.
+
+    One place for the MoE-vs-dense selection every entry point needs:
+    dense models get a plain ``method="tokens"`` apply; MoE models (with a
+    positive aux weight) get :func:`ddm_tpu.models.moe.make_moe_aux_apply`
+    so the Switch load-balance loss actually reaches the optimizer.
+    """
+    if getattr(model, "moe_experts", 0) > 1 and moe_aux_weight > 0:
+        from ddm_tpu.models.moe import make_moe_aux_apply
+
+        return make_moe_aux_apply(model, moe_aux_weight, method="tokens")
+
+    def apply_fn(params, xt, t, xi):
+        return model.apply(params, xt, t, xi, method="tokens")
+
+    return apply_fn

@@ -107,11 +107,15 @@ class MoEMLP(nn.Module):
         # clamp to the actual row count: init traces with a 1-image dummy
         # (N rows) and small inference batches may be under one group
         gs = min(self.group_size, T) if self.group_size > 0 else T
-        if T % gs:
-            raise ValueError(
-                f"row count {T} not divisible by moe group_size {gs}"
-            )
-        G = T // gs
+        # Row counts that don't divide the group (eval remainder chunks,
+        # odd sampling batches) are zero-PADDED to the next group boundary;
+        # padded rows are masked out of routing (no capacity consumed, no
+        # aux contribution) and the output is sliced back.
+        T_pad = -(-T // gs) * gs
+        n_valid = T
+        if T_pad != T:
+            rows = jnp.pad(rows, ((0, T_pad - T), (0, 0)))
+        G = T_pad // gs
         cap = int(-(-gs * self.capacity_factor // E))  # ceil, per group
 
         wr = self.param("router_kernel", nn.initializers.lecun_normal(),
@@ -146,6 +150,11 @@ class MoEMLP(nn.Module):
         idx = jnp.argmax(probs, axis=-1)                         # (G, gs)
 
         onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)       # (G, gs, E)
+        if T_pad != n_valid:
+            # padding rows never route: they consume no expert capacity
+            # and contribute nothing to the load-balance statistics
+            valid = (jnp.arange(T_pad) < n_valid).reshape(G, gs, 1)
+            onehot = onehot * valid
         # 0-based position of each token in its expert's per-group queue
         pos = jnp.cumsum(onehot, axis=1) * onehot - 1.0
         keep = (pos >= 0) & (pos < cap)
@@ -163,9 +172,25 @@ class MoEMLP(nn.Module):
         # and a sown scalar inside the init variables would ride into the
         # TrainState param tree (AdamW would weight-decay it).
         if not self.is_initializing():
-            frac = jnp.mean(onehot, axis=(0, 1))
-            mean_p = jnp.mean(probs, axis=(0, 1))
-            self.sow("losses", "moe_aux", E * jnp.sum(frac * mean_p))
+            denom = float(n_valid)
+            frac = jnp.sum(onehot, axis=(0, 1)) / denom
+            if T_pad != n_valid:
+                mean_p = jnp.sum(probs * valid, axis=(0, 1)) / denom
+            else:
+                mean_p = jnp.mean(probs, axis=(0, 1))
+            aux = E * jnp.sum(frac * mean_p)
+            if shard:
+                # Every input of aux passed through tp_region_enter, whose
+                # backward is a psum over the model axis — but unlike the
+                # expert branches (partial computations whose cotangents
+                # must sum), aux is computed IDENTICALLY on every shard, so
+                # the psum would over-count its gradients tp-fold. Scale
+                # the cotangents by 1/tp (value untouched) so the psum
+                # reconstructs exactly 1x — the conjugate of "replicated
+                # compute on entered values".
+                inv = 1.0 / self.tp
+                aux = aux * inv + jax.lax.stop_gradient(aux * (1.0 - inv))
+            self.sow("losses", "moe_aux", aux)
 
         if shard:
             s = jax.lax.axis_index(self.tp_axis)
@@ -206,4 +231,4 @@ class MoEMLP(nn.Module):
             from ddm_tpu.parallel.tp import tp_region_exit
 
             part = tp_region_exit(part, self.tp_axis)
-        return part.reshape(T, D).astype(self.dtype)
+        return part.reshape(T_pad, D)[:T].astype(self.dtype)

@@ -66,6 +66,7 @@ def make_sharded_train_step(
     target_transform: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     fsdp: bool = False,
     ema_decay: float = 0.9999,
+    ema_every: int = 1,
 ):
     """Build a jitted ``(state, key, batch) -> (state, metrics)`` step.
 
@@ -163,8 +164,20 @@ def make_sharded_train_step(
         new_state = state.apply_gradients(grads=grads)
         if state.ema_params is not None:
             # EMA leaves shard identically to their params (same tree, same
-            # path rules), so this is collective-free under every layout
-            new_state = update_ema(new_state, ema_decay)
+            # path rules), so this is collective-free under every layout.
+            cand = update_ema(new_state, ema_decay)
+            if ema_every > 1:
+                # gradient accumulation: MultiSteps freezes params for
+                # N-1 of every N micro-steps; blending on those would
+                # shorten the averaging horizon to decay^N per real
+                # update. Blend only on the emitting micro-step.
+                emit = (new_state.step % ema_every) == 0
+                new_state = new_state.replace(ema_params=jax.tree.map(
+                    lambda n, o: jnp.where(emit, n, o),
+                    cand.ema_params, new_state.ema_params,
+                ))
+            else:
+                new_state = cand
         return new_state, metrics
 
     if steps_per_scan > 1:

@@ -99,6 +99,47 @@ def test_checkpoint_roundtrip_and_pre_ema_resume(tmp_path):
         ckpt_lib.load_params(pre, ema=True)
 
 
+def test_ema_skips_frozen_micro_steps_under_grad_accum():
+    """--ema-decay x --grad-accum: MultiSteps freezes params for N-1 of
+    every N micro-steps; blending on those would shorten the averaging
+    horizon to decay^N per real update. With ema_every=N the EMA must be
+    untouched after micro-step 1 and blended exactly once after step 2."""
+    from ddm_tpu.parallel import (REPLICATED_RULES, make_mesh,
+                                  make_sharded_train_step,
+                                  place_train_state, shard_batch)
+
+    model = DDDMMLP()
+    x = jnp.zeros((8, 2))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((8,)), x)
+    inner = optax.adam(1e-2)
+    state = TrainState.create(
+        apply_fn=model.apply, params=params,
+        tx=optax.MultiSteps(inner, every_k_schedule=2),
+        ema_params=jax.tree.map(jnp.copy, params),
+    )
+    mesh = make_mesh(tp=1)
+    state, shardings = place_train_state(state, mesh, REPLICATED_RULES)
+    step = make_sharded_train_step(
+        model.apply, mesh, shardings, m=2, beta=0.1, lam=1.0, w_bias=0.0,
+        ema_decay=0.5, ema_every=2,
+    )
+    ema0 = jax.tree.map(np.asarray, jax.device_get(state.ema_params))
+    batch = jax.random.normal(jax.random.PRNGKey(1), (8, 2))
+
+    state, _ = step(state, jax.random.PRNGKey(2), shard_batch(batch, mesh))
+    for a, b in zip(jax.tree.leaves(ema0),
+                    jax.tree.leaves(jax.device_get(state.ema_params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    state, _ = step(state, jax.random.PRNGKey(3), shard_batch(batch, mesh))
+    for e0, e1, p1 in zip(jax.tree.leaves(ema0),
+                          jax.tree.leaves(jax.device_get(state.ema_params)),
+                          jax.tree.leaves(jax.device_get(state.params))):
+        np.testing.assert_allclose(
+            np.asarray(e1), (np.asarray(e0) + np.asarray(p1)) / 2,
+            rtol=1e-5, atol=1e-7)
+
+
 def test_cifar_cli_ema_end_to_end(tmp_path):
     """--ema-decay trains, checkpoints both trees, and generate.py --ema
     samples from the average."""

@@ -31,17 +31,19 @@ pytestmark = pytest.mark.skipif(
 
 def _moe_oracle(params, rows, num_experts, capacity_factor, group_size=0):
     """Per-token reference: top-1 routing, first-come PER-GROUP capacity,
-    gate scale."""
+    gate scale. Row counts that don't fill the last group behave as if it
+    were zero-padded with never-routing rows (= just fewer rows compete
+    for the same per-group capacity)."""
     p = params["params"]
     T, D = rows.shape
-    gs = group_size if group_size > 0 else T
+    gs = min(group_size, T) if group_size > 0 else T
     cap = int(-(-gs * capacity_factor // num_experts))
     logits = rows @ p["router_kernel"] + p["router_bias"]
     probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
     out = np.zeros((T, D), np.float32)
     for g0 in range(0, T, gs):
         counts = [0] * num_experts
-        for t in range(g0, g0 + gs):
+        for t in range(g0, min(g0 + gs, T)):
             e = int(np.argmax(probs[t]))
             if counts[e] >= cap:
                 continue  # dropped: residual only
@@ -53,12 +55,16 @@ def _moe_oracle(params, rows, num_experts, capacity_factor, group_size=0):
     return out
 
 
-@pytest.mark.parametrize("capacity_factor,group_size",
-                         [(2.0, 0), (0.3, 0), (2.0, 8), (0.5, 8)])
-def test_moe_matches_per_token_oracle(capacity_factor, group_size):
-    """Dense einsum dispatch == per-token loop, incl. capacity drops and
-    GShard-style per-group routing."""
-    E, D, H, T = 4, 8, 16, 32
+@pytest.mark.parametrize("capacity_factor,group_size,T",
+                         [(2.0, 0, 32), (0.3, 0, 32), (2.0, 8, 32),
+                          (0.5, 8, 32),
+                          # ragged row counts: eval remainder chunks /
+                          # odd sampling batches pad to the group boundary
+                          (2.0, 8, 20), (0.5, 8, 20)])
+def test_moe_matches_per_token_oracle(capacity_factor, group_size, T):
+    """Dense einsum dispatch == per-token loop, incl. capacity drops,
+    GShard-style per-group routing, and ragged (padded) last groups."""
+    E, D, H = 4, 8, 16
     moe = MoEMLP(D, H, E, capacity_factor=capacity_factor,
                  group_size=group_size)
     rows = jax.random.normal(jax.random.PRNGKey(1), (T, D))
@@ -69,9 +75,9 @@ def test_moe_matches_per_token_oracle(capacity_factor, group_size):
         capacity_factor, group_size,
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
-    if capacity_factor < 1.0:  # the drop path must actually engage
+    if capacity_factor < 1.0 and T % max(group_size, 1) == 0:
         dropped = np.sum(np.all(want == 0.0, axis=-1))
-        assert dropped > 0
+        assert dropped > 0  # the drop path must actually engage
 
 
 def _moe_dit_pair(tp: int):
@@ -204,6 +210,68 @@ def test_moe_aux_matches_numpy_and_reaches_the_loss():
         float(loss), float(base_loss) + float(metrics["moe_aux"]), rtol=1e-6)
     # mean over the 2 MoE blocks, scaled by the weight
     assert float(metrics["moe_aux"]) < w * 2.0  # aux/block is O(1)
+
+
+def test_ep_train_step_with_aux_matches_oracle():
+    """The Switch aux under expert parallelism: aux is computed identically
+    on every model shard from tp_region_enter'd values, so its cotangents
+    must be scaled 1/tp before the enter psum — otherwise the router (and
+    block input) gradients are over-counted tp-fold. One engaged-clip
+    DP x EP step with the aux apply must equal the full-model oracle
+    leaf-for-leaf."""
+    from ddm_tpu.models.moe import make_moe_aux_apply
+    from ddm_tpu.parallel import MODEL_AXIS, clip_by_global_norm_sharded
+
+    full, local, params = _moe_dit_pair(tp=2)
+    hp = dict(m=2, beta=0.1, lam=1.0, w_bias=0.0)
+    key = jax.random.PRNGKey(5)
+    batch = jax.random.normal(jax.random.PRNGKey(6), (8, 8, 8, 3))
+    clip = 1e-3  # always engages
+
+    mesh = make_mesh(tp=2)
+    tx_ep = optax.chain(
+        clip_by_global_norm_sharded(
+            clip, tree_shardings(params, mesh, DIT_TP_RULES), MODEL_AXIS),
+        optax.adam(1e-3),
+    )
+    state = TrainState.create(
+        apply_fn=local.apply, params=jax.tree.map(jnp.copy, params), tx=tx_ep
+    )
+    state, shardings = place_train_state(state, mesh, DIT_TP_RULES)
+    step = make_sharded_train_step(
+        make_moe_aux_apply(local, 0.5), mesh, shardings,
+        dp_shard_map=True, **hp)
+    state, m_ep = step(state, key, shard_batch(batch, mesh))
+    assert float(m_ep["moe_aux"]) > 0.0
+
+    loss_fn = make_loss_fn(make_moe_aux_apply(full, 0.5), **hp)
+    ref = TrainState.create(
+        apply_fn=full.apply, params=jax.tree.map(jnp.copy, params),
+        tx=optax.chain(optax.clip_by_global_norm(clip), optax.adam(1e-3)),
+    )
+    shards = batch.reshape(4, 2, 8, 8, 3)
+    acc = None
+    aux_vals = []
+    for i in range(4):
+        ki = jax.random.fold_in(key, i)
+        (_, mi), gi = jax.value_and_grad(loss_fn, has_aux=True)(
+            ref.params, ki, shards[i]
+        )
+        aux_vals.append(float(mi["moe_aux"]))
+        acc = gi if acc is None else jax.tree.map(jnp.add, acc, gi)
+    ref = ref.apply_gradients(grads=jax.tree.map(lambda g: g / 4, acc))
+
+    # the per-shard aux VALUE must be the full aux (not aux/tp)
+    np.testing.assert_allclose(
+        float(m_ep["moe_aux"]), np.mean(aux_vals), rtol=1e-5)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref.params)[0],
+        jax.tree_util.tree_flatten_with_path(state.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
 
 
 def test_moe_aux_apply_rejects_dense_model():

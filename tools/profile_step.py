@@ -50,15 +50,10 @@ def build_step(args):
                      optax.adamw(1e-4, weight_decay=0.01))
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     state, shardings = place_train_state(state, mesh, REPLICATED_RULES)
-    if args.moe_experts > 1:
-        from ddm_tpu.models.moe import make_moe_aux_apply
+    from ddm_tpu.models.factory import make_tokens_apply
 
-        apply_fn = make_moe_aux_apply(model, 0.01, method="tokens")
-    else:
-        def apply_fn(p, xt, t, xi):
-            return model.apply(p, xt, t, xi, method="tokens")
     step = make_sharded_train_step(
-        apply_fn,
+        make_tokens_apply(model),
         mesh, shardings, m=args.m, beta=0.1, lam=1.0, w_bias=0.0,
         preprocess=lambda k, b: augment_cifar10(k, b),
         target_transform=lambda x0: patchify_images(x0, args.patch_size),

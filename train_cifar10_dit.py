@@ -170,31 +170,39 @@ def train(args: argparse.Namespace) -> None:
     # default here stays faithful to that). The schedule is a pure
     # function of the optimizer step, so it lives inside the compiled
     # step and survives --resume (state.step is checkpointed).
+    # Flag units are BATCHES (micro-steps). Under --grad-accum N the optax
+    # MultiSteps wrapper advances the inner schedule count only on every
+    # N-th micro-step (one count per OPTIMIZER update), so the batch-unit
+    # flags convert to inner units here — without the division a cosine
+    # run would end at ~cos(pi/(2N)) of its decay instead of --lr-min.
+    accum = max(args.grad_accum, 1)
     steps_per_epoch_sched = len(train_loader)
     lr: Any = args.lr
-    total_steps = args.epochs * steps_per_epoch_sched
+    total_steps = args.epochs * steps_per_epoch_sched // accum
+    warmup = args.warmup_steps // accum
     if args.lr_schedule == "cosine":
         lr = optax.warmup_cosine_decay_schedule(
             init_value=0.0, peak_value=args.lr,
-            warmup_steps=args.warmup_steps,
-            decay_steps=max(total_steps, args.warmup_steps + 1),
+            warmup_steps=warmup,
+            decay_steps=max(total_steps, warmup + 1),
             end_value=args.lr_min,
         )
     elif args.lr_schedule == "linear":
         lr = optax.join_schedules(
-            [optax.linear_schedule(0.0, args.lr, args.warmup_steps),
+            [optax.linear_schedule(0.0, args.lr, warmup),
              optax.linear_schedule(
                  args.lr, args.lr_min,
-                 max(total_steps - args.warmup_steps, 1))],
-            [args.warmup_steps],
+                 max(total_steps - warmup, 1))],
+            [warmup],
         )
-    elif args.warmup_steps > 0:
+    elif warmup > 0:
         lr = optax.join_schedules(
-            [optax.linear_schedule(0.0, args.lr, args.warmup_steps),
+            [optax.linear_schedule(0.0, args.lr, warmup),
              optax.constant_schedule(args.lr)],
-            [args.warmup_steps],
+            [warmup],
         )
-    lr_at = lr if callable(lr) else (lambda step: args.lr)
+    lr_at = ((lambda step: lr(step // accum)) if callable(lr)
+             else (lambda step: args.lr))
     tx_parts.append(optax.adamw(lr, weight_decay=args.weight_decay))
     tx = optax.chain(*tx_parts)
     if args.grad_accum > 1:
@@ -323,16 +331,10 @@ def train(args: argparse.Namespace) -> None:
         step_apply = make_pipelined_apply(
             pp_model, n_stages=args.pp, n_microbatches=args.pp_microbatches)
     else:
+        from ddm_tpu.models.factory import make_tokens_apply
+
         step_model = build_model(args, tp_axis="model") if args.tp > 1 else model
-
-        if args.moe_experts > 1 and args.moe_aux_weight > 0:
-            from ddm_tpu.models.moe import make_moe_aux_apply
-
-            step_apply = make_moe_aux_apply(
-                step_model, args.moe_aux_weight, method="tokens")
-        else:
-            def step_apply(p, xt, t, xi):
-                return step_model.apply(p, xt, t, xi, method="tokens")
+        step_apply = make_tokens_apply(step_model, args.moe_aux_weight)
 
     step_fn = make_sharded_train_step(
         step_apply, mesh, state_shardings,
@@ -342,6 +344,7 @@ def train(args: argparse.Namespace) -> None:
         target_transform=lambda x0: patchify_images(x0, args.patch_size),
         fsdp=args.fsdp,
         ema_decay=args.ema_decay,
+        ema_every=max(args.grad_accum, 1),
     )
 
     global_step = int(state.step)
