@@ -54,6 +54,7 @@ def dit_train_flops_per_image(
     *, img: int, patch: int, dim: int, depth: int, heads: int,
     time_dim: int, mlp_ratio: float, m: int, channels: int = 3,
     remat: bool = False, moe_experts: int = 0, moe_capacity: float = 1.25,
+    moe_topk: int = 1,
 ) -> float:
     """Audited MODEL-FLOPs (matmul 2*M*N*K convention) per DATA image for
     one training step: forward + backward (= 3x forward) for each of the m
@@ -78,7 +79,8 @@ def dit_train_flops_per_image(
     if moe_experts > 1:
         mlp_flops = (
             2 * n_tok * dim * moe_experts                    # router
-            + moe_capacity * 2 * 2 * n_tok * dim * int(dim * mlp_ratio)
+            + moe_topk * moe_capacity
+            * 2 * 2 * n_tok * dim * int(dim * mlp_ratio)
         )
     else:
         mlp_flops = 2 * 2 * n_tok * dim * int(dim * mlp_ratio)
@@ -282,6 +284,9 @@ def main() -> None:
                    help="GShard routing group size (dispatch einsums are "
                         "quadratic in the group; must divide batch*m*tokens)")
     p.add_argument("--moe-capacity", type=float, default=1.25)
+    p.add_argument("--moe-topk", type=int, default=1,
+                   help="1 = Switch top-1, 2 = GShard top-2 (expert FFN "
+                        "FLOPs scale with topk)")
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "sample", "eval"],
                    help="train: images/sec/chip of the training step; "
@@ -323,7 +328,7 @@ def main() -> None:
         fused_mlp=args.tp == 1, remat=args.remat,
         mlp_persist_blocks=args.mlp_persist,
         moe_experts=args.moe_experts, moe_capacity=args.moe_capacity,
-        moe_group_size=args.moe_group_size,
+        moe_group_size=args.moe_group_size, moe_topk=args.moe_topk,
     )
     key = jax.random.PRNGKey(0)
     dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
@@ -361,7 +366,7 @@ def main() -> None:
             img=32, patch=args.patch_size, dim=args.embed_dim,
             depth=args.depth, heads=args.heads, time_dim=256, mlp_ratio=4.0,
             m=1, moe_experts=args.moe_experts,
-            moe_capacity=args.moe_capacity,
+            moe_capacity=args.moe_capacity, moe_topk=args.moe_topk,
         )
         fwd_flops = mfu_flops / 3.0  # counter reports fwd+bwd = 3x fwd
         sample_tflops = 20 * fwd_flops / 1e12
@@ -438,7 +443,7 @@ def main() -> None:
         img=32, patch=args.patch_size, dim=args.embed_dim, depth=args.depth,
         heads=args.heads, time_dim=256, mlp_ratio=4.0, m=args.m,
         remat=args.remat, moe_experts=args.moe_experts,
-        moe_capacity=args.moe_capacity,
+        moe_capacity=args.moe_capacity, moe_topk=args.moe_topk,
     )
     model_tflops_per_step = mfu_flops * args.batch / 1e12
     hw_tflops_per_step = hw_flops * args.batch / 1e12

@@ -292,6 +292,7 @@ class DiTBlock(nn.Module):
     moe_experts: int = 0
     moe_capacity: float = 1.25
     moe_group_size: int = 0
+    moe_topk: int = 1
 
     def _moe_half(self, x: jnp.ndarray) -> jnp.ndarray:
         """LN2 + top-1 expert MLP + residual (replaces the dense MLP)."""
@@ -302,7 +303,7 @@ class DiTBlock(nn.Module):
         out = MoEMLP(
             self.dim, int(self.dim * self.mlp_ratio), self.moe_experts,
             capacity_factor=self.moe_capacity,
-            group_size=self.moe_group_size, tp=self.tp,
+            group_size=self.moe_group_size, topk=self.moe_topk, tp=self.tp,
             tp_axis=self.tp_axis, dtype=self.dtype, name="moe",
         )(h.reshape(B * N, D))
         out = x.astype(jnp.float32) + out.astype(jnp.float32).reshape(B, N, D)
@@ -514,6 +515,8 @@ class DDDMDiT(nn.Module):
     # group (exact; dispatch quadratic in rows — unit-test shapes only);
     # set a few hundred for training shapes.
     moe_group_size: int = 0
+    # routed experts per token: 1 = Switch, 2 = GShard top-2
+    moe_topk: int = 1
 
     def setup(self):
         if self.img_size % self.patch_size != 0:
@@ -587,6 +590,7 @@ class DDDMDiT(nn.Module):
                 moe_experts=self.moe_experts,
                 moe_capacity=self.moe_capacity,
                 moe_group_size=self.moe_group_size,
+                moe_topk=self.moe_topk,
                 name=f"block_{i}",
             )
             for i in range(self.depth)

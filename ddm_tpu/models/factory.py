@@ -44,6 +44,7 @@ MODEL_DEFAULTS: dict = {
     "moe_experts": 0,
     "moe_capacity": 1.25,
     "moe_group_size": 0,
+    "moe_topk": 1,
 }
 
 # Inference-time knobs generate.py needs when a checkpoint's embedded
@@ -101,6 +102,7 @@ def build_model(cfg: Any, tp_axis: Optional[str] = None) -> DDDMDiT:
         moe_experts=int(get("moe_experts")),
         moe_capacity=float(get("moe_capacity")),
         moe_group_size=int(get("moe_group_size")),
+        moe_topk=int(get("moe_topk")),
     )
 
 

@@ -9,11 +9,14 @@ TPU-first in the GShard/Switch style:
     one-hot dispatch/combine tensors and the expert FFNs run as batched
     ``(E, C, D) x (E, D, F)`` einsums — large MXU matmuls, no gathers with
     data-dependent shapes, nothing XLA cannot tile.
-  * **Top-1 (Switch) routing** with the gate probability scaling the
-    expert output, so the router is trained through the only
-    differentiable path hard routing leaves open. Tokens over an expert's
-    capacity ``C = ceil(T/E * capacity_factor)`` are dropped — they pass
-    through the residual connection untouched (standard Switch behaviour).
+  * **Top-1 (Switch) or top-2 (GShard) routing** with the (renormalised)
+    gate probabilities scaling the expert outputs, so the router is
+    trained through the only differentiable path hard routing leaves
+    open. Tokens over an expert's capacity
+    ``C = ceil(group/E * capacity_factor * topk)`` are dropped — they
+    pass through the residual connection untouched (standard Switch
+    behaviour); with top-2, second choices queue after first choices so
+    drops hit them first.
   * **Expert parallelism over the ``model`` mesh axis**: each shard holds
     ``E/tp`` experts' weights (and Adam moments) and computes ONLY its
     local experts on the (axis-replicated) token stream; partial combines
@@ -94,6 +97,11 @@ class MoEMLP(nn.Module):
     # group_size of a few hundred keeps dispatch linear in T while the
     # capacity rule applies per group (GShard §3.2's exact trade).
     group_size: int = 0  # 0 = all rows in one group (exact, small T only)
+    # routed experts per token: 1 = Switch, 2 = GShard top-2 (renormalised
+    # gates, second choices queue after first choices; per-expert capacity
+    # scales by topk so the default capacity_factor keeps the same drop
+    # behaviour — expert FFN FLOPs scale with topk)
+    topk: int = 1
     tp: int = 1
     tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
@@ -116,7 +124,10 @@ class MoEMLP(nn.Module):
         if T_pad != T:
             rows = jnp.pad(rows, ((0, T_pad - T), (0, 0)))
         G = T_pad // gs
-        cap = int(-(-gs * self.capacity_factor // E))  # ceil, per group
+        if self.topk not in (1, 2):
+            raise ValueError(f"topk must be 1 or 2, got {self.topk}")
+        # ceil, per group; each token occupies up to topk slots
+        cap = int(-(-gs * self.capacity_factor * self.topk // E))
 
         wr = self.param("router_kernel", nn.initializers.lecun_normal(),
                         (self.dim, E), jnp.float32)
@@ -146,26 +157,59 @@ class MoEMLP(nn.Module):
             "gtd,de->gte", rows_g.astype(jnp.float32), wr
         ) + br                                                   # (G, gs, E)
         probs = jax.nn.softmax(logits, axis=-1)
-        gate = jnp.max(probs, axis=-1)                           # (G, gs)
-        idx = jnp.argmax(probs, axis=-1)                         # (G, gs)
 
-        onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)       # (G, gs, E)
+        valid = None
         if T_pad != n_valid:
             # padding rows never route: they consume no expert capacity
             # and contribute nothing to the load-balance statistics
             valid = (jnp.arange(T_pad) < n_valid).reshape(G, gs, 1)
-            onehot = onehot * valid
-        # 0-based position of each token in its expert's per-group queue
-        pos = jnp.cumsum(onehot, axis=1) * onehot - 1.0
-        keep = (pos >= 0) & (pos < cap)
-        # dispatch[g, t, e, c] = 1 iff token t is slot c of expert e in
-        # group g (pos is -1 off-route / >= cap over capacity; one_hot of
-        # those yields zeros, matching the `keep` mask)
-        dispatch = (
-            onehot * keep
-        )[..., None] * jax.nn.one_hot(
-            pos.astype(jnp.int32), cap, dtype=jnp.float32
-        )                                                        # (G, gs, E, C)
+
+        def queue(oh, offset=None):
+            """Per-group, per-expert slot positions for routed tokens
+            (token order; -1 off-route) and the capacity-bounded one-hot
+            dispatch block built from them."""
+            pos = jnp.cumsum(oh, axis=1) * oh - 1.0
+            if offset is not None:
+                pos = pos + offset * oh
+            keep = (pos >= 0) & (pos < cap)
+            # dispatch[g, t, e, c] = 1 iff token t is slot c of expert e
+            # in group g (pos is -1 off-route / >= cap over capacity;
+            # one_hot of those yields zeros, matching the `keep` mask)
+            d = (oh * keep)[..., None] * jax.nn.one_hot(
+                pos.astype(jnp.int32), cap, dtype=jnp.float32
+            )
+            return d                                             # (G, gs, E, C)
+
+        if self.topk == 1:
+            gate = jnp.max(probs, axis=-1)                       # (G, gs)
+            idx = jnp.argmax(probs, axis=-1)                     # (G, gs)
+            onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)   # (G, gs, E)
+            if valid is not None:
+                onehot = onehot * valid
+            dispatch = queue(onehot)
+            combine = dispatch * gate[..., None, None].astype(jnp.float32)
+        else:
+            # GShard-style top-2: every token routes to its two largest
+            # experts with renormalised gates; second choices queue AFTER
+            # all of the group's first choices (first-choice priority), so
+            # slots never collide and capacity drops hit second choices
+            # first. Each token occupies up to 2 slots — the capacity rule
+            # above already scales by topk.
+            p2, i2 = jax.lax.top_k(probs, 2)                     # (G, gs, 2)
+            oh = jax.nn.one_hot(i2, E, dtype=jnp.float32)        # (G, gs, 2, E)
+            if valid is not None:
+                oh = oh * valid[..., None, :]
+            oh1, oh2 = oh[:, :, 0], oh[:, :, 1]
+            onehot = oh1  # load-balance statistics count first choices
+            d1 = queue(oh1)
+            cnt1 = jnp.sum(oh1, axis=1, keepdims=True)           # (G, 1, E)
+            d2 = queue(oh2, offset=cnt1)
+            dispatch = d1 + d2
+            denom_g = p2[..., 0] + p2[..., 1] + 1e-9
+            g1 = (p2[..., 0] / denom_g).astype(jnp.float32)
+            g2 = (p2[..., 1] / denom_g).astype(jnp.float32)
+            combine = (d1 * g1[..., None, None]
+                       + d2 * g2[..., None, None])               # (G, gs, E, C)
 
         # Switch load-balance aux: E * sum_e f_e * P_e (==1 when uniform).
         # NOT sown during init: flax init returns every mutable collection,
@@ -197,6 +241,9 @@ class MoEMLP(nn.Module):
             local = jax.lax.dynamic_slice_in_dim(
                 dispatch, s * e_local, e_local, 2
             )                                                    # (G, gs, El, C)
+            combine = jax.lax.dynamic_slice_in_dim(
+                combine, s * e_local, e_local, 2
+            )
         else:
             local = dispatch
 
@@ -222,7 +269,6 @@ class MoEMLP(nn.Module):
         out = expert_ffn_auto(xin, w1, b1, w2, b2, dtype=comp)
         out = out.reshape(el, G, cap, D)
 
-        combine = local * gate[..., None, None].astype(jnp.float32)
         part = jnp.einsum(
             "gtec,egcd->gtd", combine.astype(jnp.float32),
             out.astype(jnp.float32),

@@ -240,6 +240,7 @@ def make_pipelined_apply(model, n_stages: int, n_microbatches: int):
         moe_experts=model.moe_experts,
         moe_capacity=model.moe_capacity,
         moe_group_size=model.moe_group_size,
+        moe_topk=model.moe_topk,
     )
     S = n_stages
     M = n_microbatches

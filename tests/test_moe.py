@@ -80,11 +80,75 @@ def test_moe_matches_per_token_oracle(capacity_factor, group_size, T):
         assert dropped > 0  # the drop path must actually engage
 
 
-def _moe_dit_pair(tp: int):
+def _moe_top2_oracle(params, rows, num_experts, capacity_factor,
+                     group_size=0):
+    """Per-token top-2 reference: renormalised gates over the two largest
+    probs; first choices fill per-group queues in token order, second
+    choices queue AFTER all first choices of their expert."""
+    p = params["params"]
+    T, D = rows.shape
+    gs = min(group_size, T) if group_size > 0 else T
+    cap = int(-(-gs * capacity_factor * 2 // num_experts))
+    logits = rows @ p["router_kernel"] + p["router_bias"]
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+    out = np.zeros((T, D), np.float32)
+
+    def ffn(t, e):
+        h = rows[t] @ p["experts_in"][e] + p["experts_in_bias"][e]
+        h = np.asarray(jax.nn.gelu(jnp.asarray(h), approximate=False))
+        return h @ p["experts_out"][e] + p["experts_out_bias"][e]
+
+    for g0 in range(0, T, gs):
+        hi = min(g0 + gs, T)
+        order = np.argsort(-probs[g0:hi], axis=-1)
+        counts = [0] * num_experts
+        kept = {}
+        for choice in (0, 1):  # ALL first choices before any second
+            for t in range(g0, hi):
+                e = int(order[t - g0, choice])
+                if counts[e] >= cap:
+                    continue
+                counts[e] += 1
+                kept[(t, choice)] = e
+        for t in range(g0, hi):
+            e1, e2 = int(order[t - g0, 0]), int(order[t - g0, 1])
+            denom = probs[t, e1] + probs[t, e2] + 1e-9
+            if (t, 0) in kept:
+                out[t] += probs[t, e1] / denom * ffn(t, e1)
+            if (t, 1) in kept:
+                out[t] += probs[t, e2] / denom * ffn(t, e2)
+    return out
+
+
+@pytest.mark.parametrize("capacity_factor,group_size,T",
+                         [(2.0, 0, 32), (0.3, 0, 32), (0.5, 8, 32)])
+def test_moe_top2_matches_per_token_oracle(capacity_factor, group_size, T):
+    """GShard top-2: renormalised gates, first-choice queue priority,
+    capacity drops hit second choices first."""
+    E, D, H = 4, 8, 16
+    moe = MoEMLP(D, H, E, capacity_factor=capacity_factor,
+                 group_size=group_size, topk=2)
+    rows = jax.random.normal(jax.random.PRNGKey(1), (T, D))
+    params = moe.init(jax.random.PRNGKey(0), rows)
+    got = moe.apply(params, rows)
+    want = _moe_top2_oracle(
+        jax.tree.map(np.asarray, params), np.asarray(rows), E,
+        capacity_factor, group_size,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+    if capacity_factor < 1.0:
+        # some token must have exactly ONE surviving route (partial drop)
+        top1 = _moe_oracle(jax.tree.map(np.asarray, params),
+                           np.asarray(rows), E, capacity_factor * 2,
+                           group_size)
+        assert not np.allclose(want, top1)
+
+
+def _moe_dit_pair(tp: int, topk: int = 1):
     kw = dict(
         img_size=8, patch_size=2, embed_dim=32, depth=2, num_heads=2,
         time_embed_dim=16, data_format="NHWC", dtype=jnp.float32,
-        tp=tp, moe_experts=4, moe_capacity=2.0,
+        tp=tp, moe_experts=4, moe_capacity=2.0, moe_topk=topk,
     )
     full = DDDMDiT(tp_axis=None, **kw)
     local = DDDMDiT(tp_axis="model", **kw)
@@ -109,14 +173,16 @@ def test_moe_dit_forward_and_expert_rules():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
-def test_ep_train_step_matches_oracle():
+@pytest.mark.parametrize("topk", [1, 2])
+def test_ep_train_step_matches_oracle(topk):
     """DP x EP training step with an ENGAGED global-norm clip == manual
     full-model oracle: each model shard computes only its E/tp experts
     (local expert weight slices), the g psum assembles the combines, and
-    the f operators reassemble router/rows cotangents."""
+    the f operators reassemble router/rows cotangents. Parametrised over
+    Switch top-1 and GShard top-2 routing."""
     from ddm_tpu.parallel import MODEL_AXIS, clip_by_global_norm_sharded
 
-    full, local, params = _moe_dit_pair(tp=2)
+    full, local, params = _moe_dit_pair(tp=2, topk=topk)
     hp = dict(m=2, beta=0.1, lam=1.0, w_bias=0.0)
     key = jax.random.PRNGKey(5)
     batch = jax.random.normal(jax.random.PRNGKey(6), (8, 8, 8, 3))

@@ -745,6 +745,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "- set a few hundred for training shapes; "
                              "capacity applies per group. Must divide "
                              "batch/dp * m * tokens")
+    parser.add_argument("--moe-topk", type=int, dest="moe_topk",
+                        default=MODEL_DEFAULTS["moe_topk"],
+                        help="routed experts per token: 1 = Switch top-1, "
+                             "2 = GShard top-2 (renormalised gates, "
+                             "second choices queue after first choices; "
+                             "expert FFN FLOPs scale with topk)")
     parser.add_argument("--moe-aux-weight", type=float,
                         dest="moe_aux_weight", default=0.01,
                         help="weight of the Switch load-balance auxiliary "
@@ -855,6 +861,8 @@ def main(argv: Optional[list] = None) -> None:
             parser.error("--moe-experts with --pp needs --moe-aux-weight 0: "
                          "the staged block scan does not thread the sown "
                          "load-balance collection out of the pipeline")
+        if args.moe_topk not in (1, 2):
+            parser.error("--moe-topk must be 1 or 2")
     if args.fsdp and args.tp > 1:
         parser.error("--fsdp composes with data parallelism only: the "
                      "shape-based FSDP placement conflicts with the Megatron "
