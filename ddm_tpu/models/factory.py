@@ -43,7 +43,7 @@ MODEL_DEFAULTS: dict = {
     "mlp_persist": 0,
     "moe_experts": 0,
     "moe_capacity": 1.25,
-    "moe_group_size": 0,
+    "moe_group_size": 256,
     "moe_topk": 1,
 }
 

@@ -741,10 +741,11 @@ def build_parser() -> argparse.ArgumentParser:
                         default=MODEL_DEFAULTS["moe_group_size"],
                         help="MoE routing group size (GShard-style): the "
                              "dispatch einsums cost O(rows * group) FLOPs, "
-                             "so 0 (one group, exact) is quadratic in rows "
-                             "- set a few hundred for training shapes; "
-                             "capacity applies per group. Must divide "
-                             "batch/dp * m * tokens")
+                             "so 0 (one group, exact) is QUADRATIC in rows "
+                             "- only for tiny debugging shapes; capacity "
+                             "applies per group (256 measured fastest of "
+                             "{256,512,1024}); ragged row counts pad to "
+                             "the group boundary")
     parser.add_argument("--moe-topk", type=int, dest="moe_topk",
                         default=MODEL_DEFAULTS["moe_topk"],
                         help="routed experts per token: 1 = Switch top-1, "
