@@ -129,19 +129,65 @@ def bench_mlp(B, N, D, reps):
           flush=True)
 
 
+def bench_expert_ffn(B, N, D, reps, experts=8, group=256, cap_f=1.25):
+    """Expert-FFN kernel vs the jnp/XLA reference at the MoE production
+    shape (ROOFLINE 4a's numbers, reproducible from one command)."""
+    from ddm_tpu.ops import expert_ffn as X
+
+    T = B * N
+    F = 4 * D
+    G = T // group
+    cap = int(-(-group * cap_f // experts))
+    S = G * cap
+    key = jax.random.PRNGKey(2)
+    ks = jax.random.split(key, 6)
+    x = jax.random.normal(ks[0], (experts, S, D), jnp.bfloat16)
+    w1 = jax.random.normal(ks[1], (experts, D, F), jnp.float32) * 0.02
+    b1 = jnp.zeros((experts, F), jnp.float32)
+    w2 = jax.random.normal(ks[2], (experts, F, D), jnp.float32) * 0.02
+    b2 = jnp.zeros((experts, D), jnp.float32)
+    do = jax.random.normal(ks[3], (experts, S, D), jnp.bfloat16)
+    args = (x, w1, b1, w2, b2)
+    gflop = 2 * 2 * experts * S * D * F / 1e9
+
+    for name, fn in (("kernel", X.expert_ffn_auto),
+                     ("jnp/XLA", X.expert_ffn_reference)):
+        def loss_fn(*a, _fn=fn):
+            return jnp.sum(_fn(*a).astype(jnp.float32)
+                           * do.astype(jnp.float32))
+
+        fwd = jax.jit(lambda *a, _fn=fn: _fn(*a))
+        vg = jax.jit(jax.grad(loss_fn, argnums=tuple(range(5))))
+        t_f = _timeit(fwd, *args, reps=reps)
+        t_b = _timeit(vg, *args, reps=reps)
+        print(f"expert_ffn {name}: fwd {t_f:.3f} ms ({gflop/t_f:.0f} TF/s)  "
+              f"fwd+bwd {t_b:.3f} ms", flush=True)
+    print("(standalone gap understates the in-program one: inside the "
+          "train step XLA fuses layout converts into these einsums and "
+          "re-reads the saved hidden activations in the backward — "
+          "ROOFLINE 4a has the trace-bucketed numbers)", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dit-b", action="store_true")
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument("--skip-mlp", action="store_true")
+    ap.add_argument("--skip-attention", action="store_true")
+    ap.add_argument("--moe", action="store_true",
+                    help="also bench the expert-FFN kernel vs its XLA "
+                         "reference at the MoE production shape")
     args = ap.parse_args()
 
     B, N = 2048, 64
     D, H = (768, 12) if args.dit_b else (384, 6)
     print(f"shapes: B={B} N={N} D={D} H={H} on {jax.devices()[0]}", flush=True)
-    bench_attention(B, N, D, H, args.reps)
+    if not args.skip_attention:
+        bench_attention(B, N, D, H, args.reps)
     if not args.skip_mlp:
         bench_mlp(B, N, D, args.reps)
+    if args.moe:
+        bench_expert_ffn(B, N, D, args.reps)
 
 
 if __name__ == "__main__":
