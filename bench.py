@@ -265,6 +265,10 @@ def main() -> None:
     p.add_argument("--depth", type=int, default=8)
     p.add_argument("--heads", type=int, default=6)
     p.add_argument("--patch-size", type=int, default=4)
+    p.add_argument("--image-size", type=int, default=32,
+                   help="square image side; tokens = (image/patch)^2 "
+                        "(64 reproduces the PARITY N=256 long-sequence "
+                        "rows). Augmentation/sampler shapes follow")
     p.add_argument("--remat", action="store_true",
                    help="checkpoint each block (NOT needed for DiT-B at batch "
                         "256 since the split backward: no-remat measures 394 "
@@ -321,7 +325,8 @@ def main() -> None:
     rules = DIT_TP_RULES if args.tp > 1 else REPLICATED_RULES
 
     model = DDDMDiT(
-        img_size=32, patch_size=args.patch_size, embed_dim=args.embed_dim,
+        img_size=args.image_size, patch_size=args.patch_size,
+        embed_dim=args.embed_dim,
         depth=args.depth, num_heads=args.heads, time_embed_dim=256,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
         data_format="NHWC", attention_impl=args.attention,
@@ -331,7 +336,8 @@ def main() -> None:
         moe_group_size=args.moe_group_size, moe_topk=args.moe_topk,
     )
     key = jax.random.PRNGKey(0)
-    dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    I = args.image_size
+    dummy = jnp.zeros((1, I, I, 3), jnp.float32)
     params = model.init(key, dummy, jnp.zeros((1,)), dummy)
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(1e-4, weight_decay=0.01))
@@ -350,7 +356,7 @@ def main() -> None:
         def draw(k):
             return sample_dddm(model.apply, state.params, k, n_samples=B,
                                steps=20, eps_churn=0.0,
-                               data_shape=(32, 32, 3))
+                               data_shape=(I, I, 3))
         x = draw(skey)
         float(x.ravel()[0])  # hard sync past compile
         t0 = time.perf_counter()
@@ -363,7 +369,7 @@ def main() -> None:
         # audited sampler FLOPs: 20 denoiser forwards per sample (one per
         # reverse step), from the same counter the train mode uses
         mfu_flops, _ = dit_train_flops_per_image(
-            img=32, patch=args.patch_size, dim=args.embed_dim,
+            img=I, patch=args.patch_size, dim=args.embed_dim,
             depth=args.depth, heads=args.heads, time_dim=256, mlp_ratio=4.0,
             m=1, moe_experts=args.moe_experts,
             moe_capacity=args.moe_capacity, moe_topk=args.moe_topk,
@@ -407,7 +413,8 @@ def main() -> None:
         target_transform=lambda x0: patchify_images(x0, args.patch_size),
     )
 
-    shape = (args.batch, 32, 32, 3) if K == 1 else (K, args.batch, 32, 32, 3)
+    shape = ((args.batch, I, I, 3) if K == 1
+             else (K, args.batch, I, I, 3))
     batch = shard_batch(
         np.random.default_rng(0).integers(0, 256, size=shape, dtype=np.uint8),
         mesh,
@@ -440,7 +447,7 @@ def main() -> None:
     # auditable MFU: model FLOPs from the counter above; ceiling measured
     # in-run on this chip (plus the v5e datasheet number for reference)
     mfu_flops, hw_flops = dit_train_flops_per_image(
-        img=32, patch=args.patch_size, dim=args.embed_dim, depth=args.depth,
+        img=I, patch=args.patch_size, dim=args.embed_dim, depth=args.depth,
         heads=args.heads, time_dim=256, mlp_ratio=4.0, m=args.m,
         remat=args.remat, moe_experts=args.moe_experts,
         moe_capacity=args.moe_capacity, moe_topk=args.moe_topk,
