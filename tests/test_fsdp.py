@@ -250,3 +250,56 @@ def test_combine_fsdp_grads_semantics():
     )(jnp.zeros((8,)))
     np.testing.assert_allclose(np.asarray(out["w"]), 1.0)   # 8/8
     np.testing.assert_allclose(np.asarray(out["b"]), 3.5)   # mean(0..7)
+
+
+def test_fsdp_moe_matches_dp():
+    """MoE + ZeRO-3: (E, D, F) expert weights shard by shape over the data
+    axis, the Switch aux flows through the gathered-weights loss, and two
+    FSDP steps == two replicated DP steps leaf-for-leaf."""
+    from ddm_tpu.models.dit import DDDMDiT
+    from ddm_tpu.models.moe import make_moe_aux_apply
+
+    hp = dict(m=2, beta=0.1, lam=1.0, w_bias=0.0)
+    mesh = make_mesh()
+    kw = dict(img_size=8, patch_size=2, embed_dim=32, depth=2, num_heads=2,
+              time_embed_dim=16, data_format="NHWC", dtype=jnp.float32,
+              moe_experts=4, moe_capacity=2.0)
+    model = DDDMDiT(**kw)
+    xt = jnp.zeros((1, 8, 8, 3))
+    params = model.init(jax.random.PRNGKey(0), xt, jnp.zeros((1,)), xt)
+    apply_fn = make_moe_aux_apply(model, 0.5)
+
+    state_dp = TrainState.create(
+        apply_fn=model.apply, params=jax.tree.map(jnp.copy, params),
+        tx=optax.adam(1e-2))
+    state_dp, sh_dp = place_train_state(state_dp, mesh, REPLICATED_RULES)
+    dp_step = make_sharded_train_step(apply_fn, mesh, sh_dp,
+                                      dp_shard_map=True, **hp)
+
+    state_f = TrainState.create(
+        apply_fn=model.apply, params=jax.tree.map(jnp.copy, params),
+        tx=optax.adam(1e-2))
+    fsdp_sh = fsdp_tree_shardings(state_f, mesh, min_size=64)
+    state_f, sh_f = place_train_state(state_f, mesh, shardings=fsdp_sh)
+    # the expert tensors actually sharded (leading E or D axis)
+    moe_specs = jax.tree.leaves(
+        sh_f.params["params"]["block_0"]["moe"],
+        is_leaf=lambda x: hasattr(x, "spec"))
+    assert any("data" in (ax for ax in s.spec if ax) for s in moe_specs)
+    f_step = make_sharded_train_step(apply_fn, mesh, sh_f,
+                                     dp_shard_map=True, fsdp=True, **hp)
+
+    key = jax.random.PRNGKey(42)
+    x0 = jax.random.normal(jax.random.PRNGKey(43), (16, 8, 8, 3))
+    for i in range(2):
+        k = jax.random.fold_in(key, i)
+        state_dp, m_dp = dp_step(state_dp, k, shard_batch(x0, mesh))
+        state_f, m_f = f_step(state_f, k, shard_batch(x0, mesh))
+        np.testing.assert_allclose(float(m_dp["loss"]), float(m_f["loss"]),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(float(m_dp["moe_aux"]),
+                                   float(m_f["moe_aux"]), rtol=2e-5)
+    full = replicate_tree(state_f.params)
+    for a, b in zip(jax.tree.leaves(state_dp.params), jax.tree.leaves(full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
