@@ -142,8 +142,9 @@ def load_cifar10_arrays(
 class ArrayLoader:
     """Minimal epoch loader over memory-resident arrays.
 
-    Yields ``(images, labels)`` numpy batches. ``shuffle`` draws a fresh
-    permutation every epoch from a per-loader RNG (seeded; reproducible).
+    Yields ``(images, labels)`` numpy batches. ``shuffle`` draws the epoch's
+    permutation statelessly from ``(seed, epoch)`` (see :meth:`set_epoch`),
+    so resumed runs reproduce a continuous run's data order exactly.
     When ``normalize`` is set, images are converted to float32 in [-1, 1]
     (the reference eval transform); otherwise raw uint8 flows through and
     normalisation happens on device inside the training step.
@@ -185,10 +186,22 @@ class ArrayLoader:
         self.image_size = image_size
         self.process_index = process_index
         self.process_count = process_count
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        # epoch counter driving the shuffle permutation: STATELESS in
+        # (seed, epoch), so `set_epoch(E)` after --resume reproduces the
+        # exact data order of an uninterrupted run (a stateful RNG would
+        # restart from permutation #1). Auto-increments per full
+        # iteration for callers that never call set_epoch.
+        self._epoch = 0
         # The reference applies a PIL bilinear Resize when image_size != 32
         # (data.py:200-213); PIL here gives bit-identical interpolation.
         self._resize = image_size != 32
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle permutation to ``epoch`` (the torch
+        ``DistributedSampler.set_epoch`` idiom). The trainer calls this per
+        epoch so resumed runs see the same data order as continuous ones."""
+        self._epoch = int(epoch)
 
     def __len__(self) -> int:
         n = self.data.images.shape[0]
@@ -219,7 +232,12 @@ class ArrayLoader:
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         n = self.data.images.shape[0]
-        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.shuffle:
+            order = np.random.default_rng(
+                (self._seed, self._epoch)).permutation(n)
+            self._epoch += 1  # no-op for callers that set_epoch per epoch
+        else:
+            order = np.arange(n)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         local = self.batch_size // self.process_count
         lo = self.process_index * local

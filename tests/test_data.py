@@ -169,3 +169,27 @@ def test_contour_plots_write_files(tmp_path, key):
     out = tmp_path / "mog.png"
     plot_MoG40(gmm.log_prob, xs, file_name=str(out))
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_loader_set_epoch_reproduces_continuous_order():
+    """--resume data-order contract: set_epoch(E) yields the same batches
+    an uninterrupted run sees in its E-th epoch (stateless (seed, epoch)
+    shuffle)."""
+    from ddm_tpu.data.cifar10 import ArrayLoader, _synthetic_cifar10
+
+    data = _synthetic_cifar10(64, seed=0)
+
+    def batches(loader):
+        return [im.copy() for im, _ in loader]
+
+    cont = ArrayLoader(data, 16, shuffle=True, drop_last=True,
+                       normalize=False, seed=7)
+    epochs = [batches(cont) for _ in range(3)]
+    # distinct permutations per epoch
+    assert not np.array_equal(epochs[0][0], epochs[1][0])
+
+    resumed = ArrayLoader(data, 16, shuffle=True, drop_last=True,
+                          normalize=False, seed=7)
+    resumed.set_epoch(2)
+    for a, b in zip(epochs[2], batches(resumed)):
+        np.testing.assert_array_equal(a, b)

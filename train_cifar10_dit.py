@@ -404,6 +404,10 @@ def train(args: argparse.Namespace) -> None:
                         refresh=False,
                     )
 
+            if hasattr(train_loader, "set_epoch"):
+                # stateless (seed, epoch) shuffle: --resume reproduces the
+                # data order of an uninterrupted run
+                train_loader.set_epoch(epoch)
             progress = tqdm(
                 train_loader,
                 desc=f"Epoch {epoch}/{args.epochs}",
