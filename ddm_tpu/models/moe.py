@@ -180,15 +180,24 @@ class MoEMLP(nn.Module):
             )
             return d                                             # (G, gs, E, C)
 
-        if self.topk == 1:
-            gate = jnp.max(probs, axis=-1)                       # (G, gs)
-            idx = jnp.argmax(probs, axis=-1)                     # (G, gs)
-            onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)   # (G, gs, E)
-            if valid is not None:
-                onehot = onehot * valid
-            dispatch = queue(onehot)
-            combine = dispatch * gate[..., None, None].astype(jnp.float32)
-        else:
+        def route(probs):
+            """(dispatch, combine, first-choice onehot) from router probs.
+
+            NOT jax.checkpoint'ed (measured dead end): recomputing the
+            (G, gs, E, C) one-hot blocks from probs in the backward saves
+            ~334 MB/block of residuals but the cumsum/one_hot recompute is
+            VPU-sequential — 1456 -> 1375 img/s at the DiT-S bench shape.
+            """
+            if self.topk == 1:
+                gate = jnp.max(probs, axis=-1)                   # (G, gs)
+                idx = jnp.argmax(probs, axis=-1)                 # (G, gs)
+                onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)
+                if valid is not None:
+                    onehot = onehot * valid
+                dispatch = queue(onehot)
+                combine = dispatch * gate[..., None, None].astype(
+                    jnp.float32)
+                return dispatch, combine, onehot
             # GShard-style top-2: every token routes to its two largest
             # experts with renormalised gates; second choices queue AFTER
             # all of the group's first choices (first-choice priority), so
@@ -200,7 +209,6 @@ class MoEMLP(nn.Module):
             if valid is not None:
                 oh = oh * valid[..., None, :]
             oh1, oh2 = oh[:, :, 0], oh[:, :, 1]
-            onehot = oh1  # load-balance statistics count first choices
             d1 = queue(oh1)
             cnt1 = jnp.sum(oh1, axis=1, keepdims=True)           # (G, 1, E)
             d2 = queue(oh2, offset=cnt1)
@@ -210,6 +218,9 @@ class MoEMLP(nn.Module):
             g2 = (p2[..., 1] / denom_g).astype(jnp.float32)
             combine = (d1 * g1[..., None, None]
                        + d2 * g2[..., None, None])               # (G, gs, E, C)
+            return dispatch, combine, oh1
+
+        dispatch, combine, onehot = route(probs)
 
         # Switch load-balance aux: E * sum_e f_e * P_e (==1 when uniform).
         # NOT sown during init: flax init returns every mutable collection,
