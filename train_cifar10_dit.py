@@ -283,7 +283,8 @@ def train(args: argparse.Namespace) -> None:
         # weights is a config change, not a debugging session.
         from ddm_tpu.models.inception import InceptionEmbedding
 
-        fid_embedder = InceptionEmbedding()
+        fid_embedder = InceptionEmbedding(
+            dtype=jnp.bfloat16 if args.fid_bf16 else jnp.float32)
         print(f"[dry-eval] inception pretrained={fid_embedder.pretrained} "
               f"fid_samples={args.fid_samples} eval_samples={args.eval_samples}",
               flush=True)
@@ -459,7 +460,9 @@ def train(args: argparse.Namespace) -> None:
                     try:
                         from ddm_tpu.models.inception import InceptionEmbedding
 
-                        fid_embedder = InceptionEmbedding()
+                        fid_embedder = InceptionEmbedding(
+                            dtype=jnp.bfloat16 if args.fid_bf16
+                            else jnp.float32)
                     except Exception as exc:  # noqa: BLE001
                         fid_failed = True
                         print(f"[eval] FID disabled: {exc}", flush=True)
@@ -750,6 +753,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "applies per group (256 measured fastest of "
                              "{256,512,1024}); ragged row counts pad to "
                              "the group boundary")
+    parser.add_argument("--fid-bf16", action="store_true", dest="fid_bf16",
+                        help="run the Inception FID tower in bfloat16 "
+                             "(~3x embedder throughput; measured max pool3 "
+                             "feature delta ~5e-5 vs the fp32 reference "
+                             "numerics on the bench weights - see "
+                             "PARITY.md eval-path section). Default fp32 "
+                             "= reference numerics")
     parser.add_argument("--moe-topk", type=int, dest="moe_topk",
                         default=MODEL_DEFAULTS["moe_topk"],
                         help="routed experts per token: 1 = Switch top-1, "
