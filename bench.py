@@ -284,9 +284,11 @@ def main() -> None:
                    help="top-1-routed expert MLPs instead of the dense MLP "
                         "half (0 = dense); single-chip bench runs all "
                         "experts locally")
-    p.add_argument("--moe-group-size", type=int, default=512,
+    p.add_argument("--moe-group-size", type=int, default=256,
                    help="GShard routing group size (dispatch einsums are "
-                        "quadratic in the group; must divide batch*m*tokens)")
+                        "quadratic in the group; 256 measured fastest of "
+                        "{256,512,1024}; ragged row counts pad to the "
+                        "group boundary)")
     p.add_argument("--moe-capacity", type=float, default=1.25)
     p.add_argument("--moe-topk", type=int, default=1,
                    help="1 = Switch top-1, 2 = GShard top-2 (expert FFN "
@@ -345,6 +347,11 @@ def main() -> None:
     state, shardings = place_train_state(state, mesh, rules)
 
     if args.mode == "eval":
+        if args.image_size != 32:
+            raise SystemExit("--mode eval is the CIFAR-10 32x32 protocol "
+                             "(Inception inputs and the FID/MMD sample "
+                             "counts are defined at 32px); --image-size "
+                             "applies to train/sample modes only")
         _eval_mode(args, model, state, n_chips)
         return
 
@@ -389,7 +396,10 @@ def main() -> None:
             "vs_baseline": round(sps / n_chips / 1630.0, 3),
             "chips": n_chips, "batch": B, "sampler_steps": 20,
             "model": f"dim{args.embed_dim}-d{args.depth}-h{args.heads}-p{args.patch_size}"
-                     + (f"-moe{args.moe_experts}" if args.moe_experts > 1 else ""),
+                     + (f"-i{args.image_size}" if args.image_size != 32 else "")
+                     + (f"-moe{args.moe_experts}" if args.moe_experts > 1 else "")
+                     + (f"-top{args.moe_topk}" if args.moe_experts > 1
+                        and args.moe_topk > 1 else ""),
             "sample_tflops": round(sample_tflops, 4),
             "achieved_tflops_per_sec_per_chip": round(achieved, 2),
             "measured_matmul_peak_tflops": round(peak, 1),
@@ -480,7 +490,10 @@ def main() -> None:
         "step_ms": round(1000 * dt / total_steps, 2),
         "steps_per_scan": K,
         "model": f"dim{args.embed_dim}-d{args.depth}-h{args.heads}-p{args.patch_size}"
-                 + (f"-moe{args.moe_experts}" if args.moe_experts > 1 else ""),
+                 + (f"-i{args.image_size}" if args.image_size != 32 else "")
+                 + (f"-moe{args.moe_experts}" if args.moe_experts > 1 else "")
+                 + (f"-top{args.moe_topk}" if args.moe_experts > 1
+                    and args.moe_topk > 1 else ""),
         "loss": final_loss,
         "model_tflops_per_step": round(model_tflops_per_step, 3),
         "achieved_model_tflops_per_sec_per_chip": round(achieved, 2),

@@ -295,7 +295,7 @@ class DiTBlock(nn.Module):
     moe_topk: int = 1
 
     def _moe_half(self, x: jnp.ndarray) -> jnp.ndarray:
-        """LN2 + top-1 expert MLP + residual (replaces the dense MLP)."""
+        """LN2 + top-k expert MLP + residual (replaces the dense MLP)."""
         from ddm_tpu.models.moe import MoEMLP
 
         B, N, D = x.shape

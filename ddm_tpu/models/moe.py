@@ -2,7 +2,7 @@
 
 Capability addition (the reference has no MoE — SURVEY §2 lists a dense
 GELU ``FeedForward`` only, ``/root/reference/dddm/model.py:156-166``):
-a top-1-routed expert MLP for scaled-width DiT deployments, designed
+a top-1/top-2-routed expert MLP for scaled-width DiT deployments, designed
 TPU-first in the GShard/Switch style:
 
   * **Static shapes end-to-end.** Routing is expressed as capacity-bounded
@@ -77,7 +77,8 @@ def make_moe_aux_apply(model, weight: float, method: Optional[str] = None):
 
 
 class MoEMLP(nn.Module):
-    """Top-1 expert-routed GELU MLP over token rows ``(T, D) -> (T, D)``.
+    """Expert-routed GELU MLP over token rows ``(T, D) -> (T, D)``
+    (top-1 Switch or top-2 GShard routing via ``topk``).
 
     Two instantiations share one param tree (the `_TPAttention` trick):
     ``tp_axis=None`` declares full ``(E, ...)`` expert weights (init,
@@ -181,7 +182,13 @@ class MoEMLP(nn.Module):
             return d                                             # (G, gs, E, C)
 
         def route(probs):
-            """(dispatch, combine, first-choice onehot) from router probs.
+            """(dispatch-parts, first-choice onehot) from router probs.
+
+            Returns a list of ``(one-hot dispatch block, per-token gate)``
+            pairs — one per routed choice — so the caller can shard-slice
+            each block over the expert axis BEFORE the gate multiply (the
+            combine tensor is then built at local E/tp width; gating the
+            full width first measured tp-fold wasted elementwise work).
 
             NOT jax.checkpoint'ed (measured dead end): recomputing the
             (G, gs, E, C) one-hot blocks from probs in the backward saves
@@ -194,10 +201,7 @@ class MoEMLP(nn.Module):
                 onehot = jax.nn.one_hot(idx, E, dtype=jnp.float32)
                 if valid is not None:
                     onehot = onehot * valid
-                dispatch = queue(onehot)
-                combine = dispatch * gate[..., None, None].astype(
-                    jnp.float32)
-                return dispatch, combine, onehot
+                return [(queue(onehot), gate.astype(jnp.float32))], onehot
             # GShard-style top-2: every token routes to its two largest
             # experts with renormalised gates; second choices queue AFTER
             # all of the group's first choices (first-choice priority), so
@@ -212,15 +216,12 @@ class MoEMLP(nn.Module):
             d1 = queue(oh1)
             cnt1 = jnp.sum(oh1, axis=1, keepdims=True)           # (G, 1, E)
             d2 = queue(oh2, offset=cnt1)
-            dispatch = d1 + d2
             denom_g = p2[..., 0] + p2[..., 1] + 1e-9
             g1 = (p2[..., 0] / denom_g).astype(jnp.float32)
             g2 = (p2[..., 1] / denom_g).astype(jnp.float32)
-            combine = (d1 * g1[..., None, None]
-                       + d2 * g2[..., None, None])               # (G, gs, E, C)
-            return dispatch, combine, oh1
+            return [(d1, g1), (d2, g2)], oh1
 
-        dispatch, combine, onehot = route(probs)
+        parts, onehot = route(probs)
 
         # Switch load-balance aux: E * sum_e f_e * P_e (==1 when uniform).
         # NOT sown during init: flax init returns every mutable collection,
@@ -249,14 +250,12 @@ class MoEMLP(nn.Module):
 
         if shard:
             s = jax.lax.axis_index(self.tp_axis)
-            local = jax.lax.dynamic_slice_in_dim(
-                dispatch, s * e_local, e_local, 2
-            )                                                    # (G, gs, El, C)
-            combine = jax.lax.dynamic_slice_in_dim(
-                combine, s * e_local, e_local, 2
-            )
-        else:
-            local = dispatch
+            parts = [
+                (jax.lax.dynamic_slice_in_dim(d, s * e_local, e_local, 2), g)
+                for d, g in parts
+            ]                                          # (G, gs, El, C) each
+        local = sum(d for d, _ in parts)
+        combine = sum(d * g[..., None, None] for d, g in parts)
 
         comp = self.dtype
         el = e_local if shard else E

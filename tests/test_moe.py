@@ -121,7 +121,11 @@ def _moe_top2_oracle(params, rows, num_experts, capacity_factor,
 
 
 @pytest.mark.parametrize("capacity_factor,group_size,T",
-                         [(2.0, 0, 32), (0.3, 0, 32), (0.5, 8, 32)])
+                         [(2.0, 0, 32), (0.3, 0, 32), (0.5, 8, 32),
+                          # ragged last group: padded rows must not enter
+                          # the first-choice counts that offset the
+                          # second-choice queues
+                          (2.0, 8, 20), (0.5, 8, 20)])
 def test_moe_top2_matches_per_token_oracle(capacity_factor, group_size, T):
     """GShard top-2: renormalised gates, first-choice queue priority,
     capacity drops hit second choices first."""
