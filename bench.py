@@ -306,9 +306,15 @@ def main() -> None:
                         "(DDM_TPU_FAST_GELU=1): deviates from reference "
                         "numerics; the headline bench stays exact-erf")
     args = p.parse_args()
+    import os
     if args.fast_gelu:
-        import os
         os.environ["DDM_TPU_FAST_GELU"] = "1"
+    if (args.moe_experts > 1 and args.embed_dim >= 768
+            and "DDM_TPU_ATTN_BWD_BI" not in os.environ):
+        # MoE layouts at D>=768 push the attention split-backward over
+        # Mosaic's scoped-vmem limit at bi=4 (measured +373 KB); default
+        # the documented escape hatch so the config benches out of the box
+        os.environ["DDM_TPU_ATTN_BWD_BI"] = "2"
 
     from ddm_tpu.data.augment import augment_cifar10
     from ddm_tpu.models.dit import DDDMDiT

@@ -878,6 +878,16 @@ def main(argv: Optional[list] = None) -> None:
                          "load-balance collection out of the pipeline")
         if args.moe_topk not in (1, 2):
             parser.error("--moe-topk must be 1 or 2")
+        if args.embed_dim >= 768 and "DDM_TPU_ATTN_BWD_BI" not in os.environ:
+            # The MoE program's layouts push the attention split-backward
+            # 373 KB over Mosaic's 16 MB scoped-vmem limit at D>=768
+            # (measured; the dense program compiles fine). Default the
+            # documented escape hatch so the config works out of the box.
+            os.environ["DDM_TPU_ATTN_BWD_BI"] = "2"
+            print("[moe] DDM_TPU_ATTN_BWD_BI=2 (attention split-backward "
+                  "image block capped: MoE layouts at this width exceed "
+                  "scoped VMEM at bi=4; export the var to override)",
+                  flush=True)
     if args.fsdp and args.tp > 1:
         parser.error("--fsdp composes with data parallelism only: the "
                      "shape-based FSDP placement conflicts with the Megatron "
