@@ -90,3 +90,34 @@ def test_two_process_dp_and_eval_paths(tmp_path):
     np.testing.assert_allclose(
         r0["stats_sigma_trace"],
         np.trace(np.cov(feats, rowvar=False)), rtol=1e-5)
+
+
+def test_two_process_tensor_parallel_psum(tmp_path):
+    """Model axis spanning OS processes: a Megatron column/row-parallel
+    matmul pair whose row-parallel psum rides the cross-process Gloo link
+    — the pod-TP communication pattern — must equal the full-matmul
+    oracle bit-for-bit on both processes."""
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "two_process_worker.py")
+    outs = [tmp_path / "t0.json", tmp_path / "t1.json"]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port), str(outs[i]), "tp"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"worker {i} failed:\n{logs[i]}"
+    r0, r1 = [json.loads(o.read_text()) for o in outs]
+    for r in (r0, r1):
+        assert r["process_count"] == 2
+        assert r["local_devices"] == 2
+        assert r["global_devices"] == 4
+        assert r["model_axis_spans_processes"] is True
+        assert r["max_err"] < 1e-5
+    assert r0["y_sum"] == r1["y_sum"]

@@ -9,7 +9,14 @@ eval reduction — and writes its observations to a JSON file the parent
 test asserts on (including cross-process agreement and equality with a
 single-process oracle).
 
-Run directly:  python tests/two_process_worker.py <pid> <port> <out.json>
+Run directly:  python tests/two_process_worker.py <pid> <port> <out.json> [mode]
+
+``mode`` is ``dp`` (default: loader slicing, global assembly, DP
+allreduce, eval allgather) or ``tp`` — a Megatron column/row-parallel
+matmul pair on a (data, model) mesh whose MODEL axis spans the two OS
+processes (each process exposes 2 virtual devices; the mesh is built
+transposed so the row-parallel psum rides the cross-process Gloo link —
+the pod-TP communication pattern).
 """
 
 from __future__ import annotations
@@ -21,8 +28,59 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _tp_mode(out_path: str) -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    # devices ordered [p0d0, p0d1, p1d0, p1d1]; TRANSPOSED reshape pairs
+    # (p0d0, p1d0) and (p0d1, p1d1) on the model axis -> every model-axis
+    # collective crosses the process boundary
+    dev = np.array(jax.devices()).reshape(2, 2).T
+    mesh = Mesh(dev, ("data", "model"))
+
+    B, K, F = 8, 16, 32
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(B, K)),
+                    jnp.float32)
+    w1 = jnp.asarray(np.random.default_rng(1).normal(size=(K, F)),
+                     jnp.float32)
+    w2 = jnp.asarray(np.random.default_rng(2).normal(size=(F, K)),
+                     jnp.float32)
+
+    def body(x, w1s, w2s):
+        h = jax.nn.gelu(x @ w1s)          # column-parallel: no comm
+        return jax.lax.psum(h @ w2s, "model")  # row-parallel: psum
+
+    y = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data", None), P(None, "model"), P("model", None)),
+        out_specs=P("data", None),
+    ))(jax.device_put(x, NamedSharding(mesh, P("data", None))),
+       jax.device_put(w1, NamedSharding(mesh, P(None, "model"))),
+       jax.device_put(w2, NamedSharding(mesh, P("model", None))))
+
+    oracle = np.asarray(jax.nn.gelu(x @ w1) @ w2)
+    got = np.asarray(
+        jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))(y))
+    result = {
+        "pid": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": jax.local_device_count(),
+        "global_devices": jax.device_count(),
+        "model_axis_spans_processes": (
+            dev[0, 0].process_index != dev[0, 1].process_index
+        ),
+        "max_err": float(np.max(np.abs(got - oracle))),
+        "y_sum": float(np.sum(got)),
+    }
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(result, f)
+
+
 def main() -> None:
     pid, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "dp"
 
     import jax
 
@@ -34,6 +92,10 @@ def main() -> None:
         num_processes=2,
         process_id=pid,
     )
+
+    if mode == "tp":
+        _tp_mode(out_path)
+        return
 
     import jax.numpy as jnp
     import numpy as np
