@@ -120,4 +120,5 @@ def test_two_process_tensor_parallel_psum(tmp_path):
         assert r["global_devices"] == 4
         assert r["model_axis_spans_processes"] is True
         assert r["max_err"] < 1e-5
+        assert r["ppermute_ok"] is True  # PP transport crosses processes
     assert r0["y_sum"] == r1["y_sum"]

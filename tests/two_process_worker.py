@@ -63,7 +63,31 @@ def _tp_mode(out_path: str) -> None:
     oracle = np.asarray(jax.nn.gelu(x @ w1) @ w2)
     got = np.asarray(
         jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))(y))
+
+    # ppermute over the process-spanning axis: the PIPELINE transport
+    # (GPipe activation rotation) crossing the OS-process boundary
+    stage_val = jnp.arange(4, dtype=jnp.float32).reshape(2, 2) + 1.0
+
+    def rot(v):
+        i = jax.lax.axis_index("model")
+        mine = v[0] * (i + 1.0)  # stage-dependent payload
+        return jax.lax.ppermute(
+            mine, "model", [(0, 1), (1, 0)])[None]
+
+    rotated = jax.jit(jax.shard_map(
+        rot, mesh=mesh,
+        in_specs=P("model", None), out_specs=P("model", None),
+    ))(jax.device_put(stage_val, NamedSharding(mesh, P("model", None))))
+    rotated = np.asarray(jax.jit(
+        lambda a: a, out_shardings=NamedSharding(mesh, P()))(rotated))
+    # stage 0 holds row0*1 -> lands on stage 1; stage 1 holds row1*2 -> stage 0
+    ppermute_ok = bool(
+        np.allclose(rotated[1], np.asarray(stage_val)[0] * 1.0)
+        and np.allclose(rotated[0], np.asarray(stage_val)[1] * 2.0)
+    )
+
     result = {
+        "ppermute_ok": ppermute_ok,
         "pid": jax.process_index(),
         "process_count": jax.process_count(),
         "local_devices": jax.local_device_count(),
