@@ -313,8 +313,14 @@ def main() -> None:
             and "DDM_TPU_ATTN_BWD_BI" not in os.environ):
         # MoE layouts at D>=768 push the attention split-backward over
         # Mosaic's scoped-vmem limit at bi=4 (measured +373 KB); default
-        # the documented escape hatch so the config benches out of the box
+        # the documented escape hatch so the config benches out of the box.
+        # Notice goes to STDERR (stdout is the one JSON line) and the
+        # effective value rides in the JSON via os.environ at print time.
         os.environ["DDM_TPU_ATTN_BWD_BI"] = "2"
+        import sys
+        print("[moe] DDM_TPU_ATTN_BWD_BI=2 (attention split-backward image "
+              "block capped at this width; export the var to override)",
+              file=sys.stderr, flush=True)
 
     from ddm_tpu.data.augment import augment_cifar10
     from ddm_tpu.models.dit import DDDMDiT
@@ -509,6 +515,8 @@ def main() -> None:
             achieved / V5E_DATASHEET_BF16_TFLOPS, 4),
         "hw_tflops_per_step_incl_remat": round(hw_tflops_per_step, 3),
         "hfu_vs_measured_peak": round(achieved_hw / peak, 4),
+        **({"attn_bwd_bi_env": os.environ["DDM_TPU_ATTN_BWD_BI"]}
+           if "DDM_TPU_ATTN_BWD_BI" in os.environ else {}),
     }))
 
 

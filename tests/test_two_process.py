@@ -1,15 +1,16 @@
-"""REAL 2-process execution smoke test (VERDICT r2 missing-item 3).
+"""REAL 2-process execution smoke tests (VERDICT r2 missing-item 3).
 
 Every multi-process path (``ArrayLoader`` process slicing, ``shard_batch``
 global assembly, DP gradient allreduce, ``process_allgather`` eval
-statistics) was previously implemented and unit-tested single-process
-only; this test actually launches TWO OS processes, connects them with
-``jax.distributed.initialize`` over localhost (the Gloo CPU collective
-backend — r2's ROADMAP claimed this jaxlib lacked service support, which
-turned out to be wrong), runs the paths for real, and asserts
+statistics, and the model/pipe-axis collectives) was previously
+implemented and unit-tested single-process only; these tests actually
+launch TWO OS processes, connect them with ``jax.distributed.initialize``
+over localhost (the Gloo CPU collective backend — r2's ROADMAP claimed
+this jaxlib lacked service support, which turned out to be wrong), run
+the paths for real, and assert
 
   * both processes agree bit-for-bit on every global quantity, and
-  * the global quantities equal a single-process oracle computed here.
+  * the global quantities match a single-process oracle computed here.
 
 Pod runbook (real slices): the launch is the same two commands with the
 coordinator address set to host 0's IP — see README's multi-host section.
@@ -33,26 +34,57 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_and_eval_paths(tmp_path):
+def _launch_workers(tmp_path, mode: str, devices_per_process: int):
+    """Run both workers to completion and return their result dicts.
+
+    Workers are polled against one shared deadline and KILLED on exit
+    (a worker that dies at startup leaves its peer blocked inside
+    ``jax.distributed.initialize``; a naive sequential communicate() would
+    hang for the full timeout and leak the survivor into the pytest run).
+    """
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "two_process_worker.py")
-    outs = [tmp_path / "p0.json", tmp_path / "p1.json"]
+    outs = [tmp_path / f"{mode}{i}.json" for i in range(2)]
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker pins CPU via jax.config itself
-    # one device per process (the pytest parent exports an 8-virtual-device
-    # XLA_FLAGS that the workers would otherwise inherit -> a 16-device mesh)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # the pytest parent exports an 8-virtual-device XLA_FLAGS the workers
+    # would otherwise inherit
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_process}"
+    )
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), str(port), str(outs[i])],
+            [sys.executable, worker, str(i), str(port), str(outs[i]), mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for i in range(2)
     ]
-    logs = [p.communicate(timeout=300)[0].decode() for p in procs]
-    for i, p in enumerate(procs):
-        assert p.returncode == 0, f"worker {i} failed:\n{logs[i]}"
-    r0, r1 = [json.loads(o.read_text()) for o in outs]
+    try:
+        logs = ["", ""]
+        import time
+
+        deadline = time.monotonic() + 300
+        while any(p.poll() is None for p in procs):
+            if time.monotonic() > deadline:
+                raise AssertionError(
+                    "workers exceeded the 300 s deadline: "
+                    + " | ".join(
+                        f"worker {i} rc={p.poll()}" for i, p in enumerate(procs)
+                    )
+                )
+            time.sleep(0.2)
+        for i, p in enumerate(procs):
+            logs[i] = p.communicate()[0].decode()
+            assert p.returncode == 0, f"worker {i} failed:\n{logs[i]}"
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    return [json.loads(o.read_text()) for o in outs]
+
+
+def test_two_process_dp_and_eval_paths(tmp_path):
+    r0, r1 = _launch_workers(tmp_path, "dp", devices_per_process=1)
 
     # distributed topology came up: 2 processes, 1 local / 2 global devices
     for r in (r0, r1):
@@ -95,25 +127,12 @@ def test_two_process_dp_and_eval_paths(tmp_path):
 def test_two_process_tensor_parallel_psum(tmp_path):
     """Model axis spanning OS processes: a Megatron column/row-parallel
     matmul pair whose row-parallel psum rides the cross-process Gloo link
-    — the pod-TP communication pattern — must equal the full-matmul
-    oracle bit-for-bit on both processes."""
-    port = _free_port()
-    worker = os.path.join(os.path.dirname(__file__), "two_process_worker.py")
-    outs = [tmp_path / "t0.json", tmp_path / "t1.json"]
-    env = dict(os.environ)
-    env.pop("JAX_PLATFORMS", None)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), str(port), str(outs[i]), "tp"],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        for i in range(2)
-    ]
-    logs = [p.communicate(timeout=300)[0].decode() for p in procs]
-    for i, p in enumerate(procs):
-        assert p.returncode == 0, f"worker {i} failed:\n{logs[i]}"
-    r0, r1 = [json.loads(o.read_text()) for o in outs]
+    — the pod-TP communication pattern — must match the full-matmul
+    oracle (to fp32 reduction-reassociation tolerance: the split psum
+    sums two 16-term partials where the oracle runs one 32-term dot) and
+    agree bit-for-bit BETWEEN the processes; the GPipe ppermute transport
+    must rotate payloads across the boundary exactly."""
+    r0, r1 = _launch_workers(tmp_path, "tp", devices_per_process=2)
     for r in (r0, r1):
         assert r["process_count"] == 2
         assert r["local_devices"] == 2

@@ -820,6 +820,7 @@ def main(argv: Optional[list] = None) -> None:
     parser = build_parser()
     args = parser.parse_args(argv)
     apply_config(parser, args)
+    attn_bi_defaulted = False
     if args.fast_gelu:
         os.environ["DDM_TPU_FAST_GELU"] = "1"
 
@@ -883,6 +884,10 @@ def main(argv: Optional[list] = None) -> None:
             # 373 KB over Mosaic's 16 MB scoped-vmem limit at D>=768
             # (measured; the dense program compiles fine). Default the
             # documented escape hatch so the config works out of the box.
+            # Restored after the run (see the finally below): main() is
+            # called programmatically in tests, and a leaked value would
+            # silently cap LATER dense runs in the same process.
+            attn_bi_defaulted = True
             os.environ["DDM_TPU_ATTN_BWD_BI"] = "2"
             print("[moe] DDM_TPU_ATTN_BWD_BI=2 (attention split-backward "
                   "image block capped: MoE layouts at this width exceed "
@@ -929,7 +934,11 @@ def main(argv: Optional[list] = None) -> None:
     if args.eval_batch <= 0:
         parser.error("--eval-batch must be positive")
 
-    train(args)
+    try:
+        train(args)
+    finally:
+        if attn_bi_defaulted:
+            os.environ.pop("DDM_TPU_ATTN_BWD_BI", None)
 
 
 if __name__ == "__main__":
