@@ -447,3 +447,26 @@ def test_cifar_cli_moe_validation(capsys):
     with pytest.raises(SystemExit):
         cifar_cli.main(["--moe-experts", "4", "--mlp-persist", "2"])
     assert "dense MLP half" in capsys.readouterr().err
+
+
+def test_bench_flop_counter_moe_accounting():
+    """The audited MFU counter: MoE model FLOPs = dense with the MLP term
+    replaced by router + topk * capacity * dense-MLP (GShard accounting;
+    dispatch/combine excluded) — pins the maths the bench JSON's MFU
+    claims derive from."""
+    import bench
+
+    common = dict(img=32, patch=4, dim=384, depth=8, heads=6,
+                  time_dim=256, mlp_ratio=4.0, m=8)
+    dense, _ = bench.dit_train_flops_per_image(**common)
+    moe, _ = bench.dit_train_flops_per_image(
+        **common, moe_experts=8, moe_capacity=1.25, moe_topk=2)
+    n_tok = (32 // 4) ** 2
+    mlp_dense = 2 * 2 * n_tok * 384 * 1536
+    router = 2 * n_tok * 384 * 8
+    # swap per-block MLP term: fwd scale = 3 (fwd+bwd) * m=8 * depth=8
+    expected = dense + 3 * 8 * 8 * (router + 2 * 1.25 * mlp_dense - mlp_dense)
+    np.testing.assert_allclose(moe, expected, rtol=1e-12)
+    # remat adds exactly one forward set
+    _, hw = bench.dit_train_flops_per_image(**common, remat=True)
+    np.testing.assert_allclose(hw, dense / 3 * 4, rtol=1e-12)
