@@ -470,3 +470,32 @@ def test_bench_flop_counter_moe_accounting():
     # remat adds exactly one forward set
     _, hw = bench.dit_train_flops_per_image(**common, remat=True)
     np.testing.assert_allclose(hw, dense / 3 * 4, rtol=1e-12)
+
+
+def test_moe_attn_bi_default_does_not_leak(monkeypatch, tmp_path):
+    """The MoE-at-DiT-B-width DDM_TPU_ATTN_BWD_BI=2 default must be
+    restored after main() returns: programmatic callers (this very test
+    suite) would otherwise run every LATER dense model with a silently
+    capped attention backward."""
+    import os
+    import unittest.mock as mock
+
+    monkeypatch.delenv("DDM_TPU_ATTN_BWD_BI", raising=False)
+    with mock.patch.object(cifar_cli, "train") as fake_train:
+        def check_set(args):
+            assert os.environ.get("DDM_TPU_ATTN_BWD_BI") == "2"
+        fake_train.side_effect = check_set
+        cifar_cli.main([
+            "--synthetic", "--moe-experts", "8", "--embed-dim", "768",
+            "--heads", "12", "--depth", "12", "--out", str(tmp_path),
+        ])
+    assert "DDM_TPU_ATTN_BWD_BI" not in os.environ
+
+    # a user-exported value is NOT touched (and not popped)
+    monkeypatch.setenv("DDM_TPU_ATTN_BWD_BI", "4")
+    with mock.patch.object(cifar_cli, "train"):
+        cifar_cli.main([
+            "--synthetic", "--moe-experts", "8", "--embed-dim", "768",
+            "--heads", "12", "--depth", "12", "--out", str(tmp_path),
+        ])
+    assert os.environ["DDM_TPU_ATTN_BWD_BI"] == "4"
