@@ -499,3 +499,22 @@ def test_moe_attn_bi_default_does_not_leak(monkeypatch, tmp_path):
             "--heads", "12", "--depth", "12", "--out", str(tmp_path),
         ])
     assert os.environ["DDM_TPU_ATTN_BWD_BI"] == "4"
+
+
+def test_sweep_toy_smoke(tmp_path, monkeypatch):
+    """The sweep driver runs a tiny grid end-to-end and writes sweep.json
+    with the reference-protocol fields per cell."""
+    import sweep_toy
+
+    monkeypatch.setattr(sys, "argv", [
+        "sweep_toy.py", "--m-values", "2", "3", "--epochs", "6",
+        "--batch", "16", "--steps", "2", "--steps-per-scan", "3",
+        "--out", str(tmp_path),
+    ])
+    sweep_toy.main()
+    with open(tmp_path / "sweep.json") as f:
+        rows = json.load(f)
+    assert [r["m"] for r in rows] == [2, 3]
+    for r in rows:
+        assert np.isfinite(r["mmd2_rbf_sigma1"])
+        assert r["steps_per_sec"] > 0
