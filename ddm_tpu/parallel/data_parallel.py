@@ -65,7 +65,7 @@ def make_sharded_train_step(
     steps_per_scan: int = 1,
     target_transform: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     fsdp: bool = False,
-    ema_decay: float = 0.9999,
+    ema_decay: Optional[float] = None,
     ema_every: int = 1,
 ):
     """Build a jitted ``(state, key, batch) -> (state, metrics)`` step.
@@ -163,6 +163,12 @@ def make_sharded_train_step(
                     lambda v: jax.lax.pmean(v, DATA_AXIS), metrics)
         new_state = state.apply_gradients(grads=grads)
         if state.ema_params is not None:
+            if ema_decay is None:
+                raise ValueError(
+                    "state carries ema_params but make_sharded_train_step "
+                    "was built without ema_decay; pass the decay explicitly "
+                    "(the CLI default is 0.9999)"
+                )
             # EMA leaves shard identically to their params (same tree, same
             # path rules), so this is collective-free under every layout.
             cand = update_ema(new_state, ema_decay)

@@ -195,7 +195,8 @@ def pipeline_tree_shardings(tree: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(leaf_sharding, tree)
 
 
-def make_pipelined_apply(model, n_stages: int, n_microbatches: int):
+def make_pipelined_apply(model, n_stages: int, n_microbatches: int,
+                         moe_aux_weight: float = 0.0):
     """Build the pipelined denoiser apply fn (shard_map body).
 
     Returns ``apply(pipe_params, xt, t, xi) -> fp32 tokens`` with the
@@ -205,6 +206,18 @@ def make_pipelined_apply(model, n_stages: int, n_microbatches: int):
     ``dp_shard_map=True``). ``pipe_params`` is the tree from
     :func:`to_pipeline_params`; under ``shard_map`` its ``stages`` leaves
     arrive as the local ``(1, L, ...)`` stage slice.
+
+    ``moe_aux_weight > 0`` (with an MoE model) switches the return to the
+    tuple form ``(tokens, aux)`` that
+    :func:`ddm_tpu.training.distributional_training_step` adds to the
+    energy loss: each stage runs its blocks with ``mutable=['losses']`` so
+    the per-block Switch load-balance terms survive the staged scan,
+    accumulates them over its own valid pipeline ticks only (warmup/drain
+    ticks route zero/stale activations), and the per-stage sums are
+    combined across ``pipe`` by a psum-forward/identity-backward exit.
+    Convention: the per-layer aux is the mean over microbatches of the
+    per-microbatch group statistic — one more level of averaging on top of
+    the routing groups the non-PP path already uses.
 
     The per-shard row count (``B*m`` after the training step's m-expansion)
     must be divisible by ``n_microbatches``.
@@ -246,6 +259,7 @@ def make_pipelined_apply(model, n_stages: int, n_microbatches: int):
     M = n_microbatches
     perm = [(i, (i + 1) % S) for i in range(S)]
     sp = model.sequence_parallel and model.tp_axis is not None
+    with_aux = moe_aux_weight > 0.0 and getattr(model, "moe_experts", 0) > 0
 
     def apply(pipe_params, xt, t, xi):
         h = model.apply(pipe_params["embed"], xt, t, xi,
@@ -275,17 +289,32 @@ def make_pipelined_apply(model, n_stages: int, n_microbatches: int):
 
         def run_stage(x):
             def body(xc, bp):
-                return block.apply({"params": bp}, xc), None
+                if with_aux:
+                    yb, mut = block.apply({"params": bp}, xc,
+                                          mutable=["losses"])
+                    terms = jax.tree.leaves(dict(mut).get("losses", {}))
+                    a = (sum(terms) if terms
+                         else jnp.zeros((), jnp.float32))
+                    return yb, a
+                return block.apply({"params": bp}, xc), jnp.zeros(
+                    (), jnp.float32)
 
-            y, _ = jax.lax.scan(body, x, stage_local)
-            return y
+            y, auxes = jax.lax.scan(body, x, stage_local)
+            return y, jnp.sum(auxes)
 
         def tick(carry, tt):
-            st, out = carry
+            st, out, acc = carry
             ridx = jnp.clip(tt, 0, M - 1)
             inp = jax.lax.dynamic_index_in_dim(hm, ridx, 0, keepdims=False)
             x = jnp.where(s_idx == 0, inp, st)
-            y = run_stage(x)
+            y, a = run_stage(x)
+            if with_aux:
+                # a stage holds REAL data only on its own M in-flight ticks
+                # (microbatch ridx entered stage s at tick s); warmup runs
+                # on rotated zeros and drain on stale carries — their aux
+                # (and its gradients) must not leak into the loss
+                live = (tt >= s_idx) & (tt - s_idx <= M - 1)
+                acc = acc + jnp.where(live, a, 0.0)
             widx = tt - (S - 1)
             wc = jnp.clip(widx, 0, M - 1)
             cur = jax.lax.dynamic_index_in_dim(out, wc, 0, keepdims=False)
@@ -297,13 +326,15 @@ def make_pipelined_apply(model, n_stages: int, n_microbatches: int):
                 st = jax.lax.ppermute(y, PIPE_AXIS, perm)
             else:
                 st = y
-            return (st, out), None
+            return (st, out, acc), None
 
         carry0 = (
             jnp.zeros((mb, N, D), h.dtype),
             jnp.zeros((M, mb, N, D), h.dtype),
+            jnp.zeros((), jnp.float32),
         )
-        (_, out), _ = jax.lax.scan(tick, carry0, jnp.arange(M + S - 1))
+        (_, out, aux_acc), _ = jax.lax.scan(
+            tick, carry0, jnp.arange(M + S - 1))
         # g operator: every stage but the last holds zeros, so the psum is a
         # broadcast of the last stage's outputs; the identity backward is
         # correct because the downstream loss is replicated over pipe.
@@ -312,8 +343,19 @@ def make_pipelined_apply(model, n_stages: int, n_microbatches: int):
         out = out.reshape(B, N, D)
         if sp:
             out = sp_region_exit(out, model.tp_axis, 1)
-        return model.apply(
+        head = model.apply(
             pipe_params["embed"], out, method="head_tokens"
         )
+        if with_aux:
+            # total over the depth = S*L layers: psum the per-stage sums
+            # (identity backward — each stage's contribution has gradient
+            # 1 into the total, and the downstream loss is replicated over
+            # pipe), then apply the Switch convention (mean over layers)
+            # and the microbatch mean
+            total = tp_region_exit(aux_acc, PIPE_AXIS)
+            n_layers = S * jax.tree.leaves(pipe_params["stages"])[0].shape[1]
+            aux = (moe_aux_weight / (n_layers * M)) * total
+            return head, aux
+        return head
 
     return apply

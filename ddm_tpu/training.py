@@ -215,7 +215,7 @@ def make_train_step(
     w_bias: float,
     axis_name: Optional[str] = None,
     jit: bool = True,
-    ema_decay: float = 0.9999,
+    ema_decay: Optional[float] = None,
 ):
     """Build a ``(state, key, x0) -> (state, metrics)`` update.
 
@@ -238,6 +238,12 @@ def make_train_step(
             metrics = jax.tree.map(lambda v: jax.lax.pmean(v, axis_name), metrics)
         new_state = state.apply_gradients(grads=grads)
         if state.ema_params is not None:
+            if ema_decay is None:
+                raise ValueError(
+                    "state carries ema_params but make_train_step was built "
+                    "without ema_decay; pass the decay explicitly (the CLI "
+                    "default is 0.9999)"
+                )
             new_state = update_ema(new_state, ema_decay)
         return new_state, metrics
 

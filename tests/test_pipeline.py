@@ -314,3 +314,113 @@ def test_pp_tp_sp_train_step_matches_oracle():
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5,
             err_msg=f"param mismatch at {jax.tree_util.keystr(pa)}",
         )
+
+
+def _tiny_moe_dit(depth=2):
+    model = DDDMDiT(
+        img_size=8, patch_size=2, embed_dim=32, depth=depth, num_heads=2,
+        time_embed_dim=16, data_format="NHWC",
+        moe_experts=4, moe_capacity=2.0,
+    )
+    xt = jnp.zeros((2, 8, 8, 3))
+    params = model.init(jax.random.PRNGKey(0), xt, jnp.zeros((2,)), xt)
+    return model, params
+
+
+def _run_pp_aux(model, params, pp, microbatches, weight, xt, t, xi):
+    """Run make_pipelined_apply with aux on a dp=1 x pipe=pp sub-mesh."""
+    mesh = make_pipe_mesh(pp=pp, devices=jax.devices()[:pp])
+    pipe_params = to_pipeline_params(params, n_stages=pp)
+    shardings = pipeline_tree_shardings(pipe_params, mesh)
+    pipe_params = jax.tree.map(jax.device_put, pipe_params, shardings)
+    specs = jax.tree.map(lambda s: s.spec, shardings)
+    apply = make_pipelined_apply(
+        model, n_stages=pp, n_microbatches=microbatches,
+        moe_aux_weight=weight,
+    )
+    papply = jax.jit(
+        jax.shard_map(
+            apply, mesh=mesh,
+            in_specs=(specs, P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P()),
+            check_vma=False,
+        )
+    )
+    put = lambda a: jax.device_put(  # noqa: E731
+        a, jax.sharding.NamedSharding(mesh, P("data")))
+    return papply(pipe_params, put(xt), put(t), put(xi))
+
+
+def test_pipelined_moe_aux_matches_plain_single_microbatch():
+    """PP + MoE aux: with one microbatch the staged scan sees exactly the
+    rows the plain path sees, so tokens AND the weighted aux must match
+    make_moe_aux_apply bit-for-bit (up to fp reassociation)."""
+    from ddm_tpu.models.moe import make_moe_aux_apply
+
+    model, params = _tiny_moe_dit(depth=2)
+    B, w = 4, 0.37
+    xt = jax.random.normal(jax.random.PRNGKey(1), (B, 8, 8, 3))
+    xi = jax.random.normal(jax.random.PRNGKey(2), (B, 8, 8, 3))
+    t = jnp.linspace(0.1, 0.9, B)
+
+    want_tok, want_aux = make_moe_aux_apply(model, w, method="tokens")(
+        params, xt, t, xi)
+    got_tok, got_aux = _run_pp_aux(model, params, pp=2, microbatches=1,
+                                   weight=w, xt=xt, t=t, xi=xi)
+    np.testing.assert_allclose(np.asarray(want_tok), np.asarray(got_tok),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(float(want_aux), float(got_aux),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_pipelined_moe_aux_microbatched_close_and_differentiable():
+    """M>1: the per-microbatch aux mean is a finer-grained statistic than
+    the whole-batch one (mean of products vs product of means) — assert
+    it stays close, is positive, and carries gradient into the ROUTER
+    params of EVERY stage (the exact failure mode of the dropped-sow bug:
+    aux silently zero => no router gradient beyond gate scaling)."""
+    from ddm_tpu.models.moe import make_moe_aux_apply
+
+    model, params = _tiny_moe_dit(depth=2)
+    B, w = 8, 1.0
+    xt = jax.random.normal(jax.random.PRNGKey(3), (B, 8, 8, 3))
+    xi = jax.random.normal(jax.random.PRNGKey(4), (B, 8, 8, 3))
+    t = jnp.linspace(0.05, 0.95, B)
+
+    _, want_aux = make_moe_aux_apply(model, w, method="tokens")(
+        params, xt, t, xi)
+
+    pp = 2
+    mesh = make_pipe_mesh(pp=pp, devices=jax.devices()[:pp])
+    pipe_params = to_pipeline_params(params, n_stages=pp)
+    shardings = pipeline_tree_shardings(pipe_params, mesh)
+    pipe_params = jax.tree.map(jax.device_put, pipe_params, shardings)
+    specs = jax.tree.map(lambda s: s.spec, shardings)
+    apply = make_pipelined_apply(model, n_stages=pp, n_microbatches=2,
+                                 moe_aux_weight=w)
+
+    def aux_only(pp_params, a, b, c):
+        _, aux = apply(pp_params, a, b, c)
+        return aux
+
+    grad_fn = jax.jit(
+        jax.shard_map(
+            jax.value_and_grad(aux_only), mesh=mesh,
+            in_specs=(specs, P("data"), P("data"), P("data")),
+            out_specs=(P(), specs),
+            check_vma=False,
+        )
+    )
+    put = lambda a: jax.device_put(  # noqa: E731
+        a, jax.sharding.NamedSharding(mesh, P("data")))
+    aux, grads = grad_fn(pipe_params, put(xt), put(t), put(xi))
+    aux = float(aux)
+    assert aux > 0.0
+    # Switch aux is ~1 at uniform routing; both conventions must agree
+    # to well under the router-collapse signal scale
+    np.testing.assert_allclose(aux, float(want_aux), rtol=0.05)
+    rk = np.asarray(
+        jax.device_get(grads["stages"]["moe"]["router_kernel"]))
+    assert rk.shape[0] == pp  # (S, L, D, E) stacked router grads
+    for s in range(pp):
+        assert np.abs(rk[s]).max() > 0.0, f"stage {s} router grad is zero"

@@ -330,7 +330,8 @@ def train(args: argparse.Namespace) -> None:
         # token-sharded between stages.
         pp_model = build_model(args, tp_axis="model") if args.tp > 1 else model
         step_apply = make_pipelined_apply(
-            pp_model, n_stages=args.pp, n_microbatches=args.pp_microbatches)
+            pp_model, n_stages=args.pp, n_microbatches=args.pp_microbatches,
+            moe_aux_weight=args.moe_aux_weight)
     else:
         from ddm_tpu.models.factory import make_tokens_apply
 
@@ -387,7 +388,11 @@ def train(args: argparse.Namespace) -> None:
                     if wandb_run is not None:
                         wandb_run.log(
                             {"train/epoch": epoch,
-                             "train/lr": float(lr_at(base + i + 1)),
+                             # optax evaluates the schedule at the PRE-update
+                             # count (completed steps) for this step's update,
+                             # so log lr_at(base + i), not the post-update
+                             # step the metrics are keyed by.
+                             "train/lr": float(lr_at(base + i)),
                              **{f"train/{k}": float(v) for k, v in mstep.items()}},
                             step=base + i + 1,
                         )
@@ -873,10 +878,6 @@ def main(argv: Optional[list] = None) -> None:
         if args.mlp_persist:
             parser.error("--mlp-persist applies to the dense MLP half, "
                          "which --moe-experts replaces")
-        if args.pp > 1 and args.moe_aux_weight > 0:
-            parser.error("--moe-experts with --pp needs --moe-aux-weight 0: "
-                         "the staged block scan does not thread the sown "
-                         "load-balance collection out of the pipeline")
         if args.moe_topk not in (1, 2):
             parser.error("--moe-topk must be 1 or 2")
         if args.embed_dim >= 768 and "DDM_TPU_ATTN_BWD_BI" not in os.environ:
