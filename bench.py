@@ -294,11 +294,12 @@ def main() -> None:
                    help="1 = Switch top-1, 2 = GShard top-2 (expert FFN "
                         "FLOPs scale with topk)")
     p.add_argument("--mode", type=str, default="train",
-                   choices=["train", "sample", "eval"],
+                   choices=["train", "sample", "eval", "host-feed"],
                    help="train: images/sec/chip of the training step; "
                         "sample: samples/sec of the 20-step reverse sampler; "
                         "eval: Inception/FID/MMD eval-path throughput + "
-                        "paper-protocol wall time")
+                        "paper-protocol wall time; host-feed: steady-state "
+                        "loader rate at --image-size (device never touched)")
     p.add_argument("--eval-images", type=int, default=1024,
                    help="images per timed Inception round in --mode eval")
     p.add_argument("--fast-gelu", action="store_true",
@@ -321,6 +322,38 @@ def main() -> None:
         print("[moe] DDM_TPU_ATTN_BWD_BI=2 (attention split-backward image "
               "block capped at this width; export the var to override)",
               file=sys.stderr, flush=True)
+
+    if args.mode == "host-feed":
+        # host-only: is the input pipeline able to outrun the chip? The
+        # dataset is CIFAR-train-sized synthetic (50k images — the real
+        # loader path is identical after load), the resize to --image-size
+        # happens once at loader construction (ddm_tpu/data/cifar10.py),
+        # and the per-epoch path is uint8 index+slice. vs_baseline is the
+        # measured 64px device demand (1,055 img/s/chip, PARITY r3).
+        from ddm_tpu.data.cifar10 import ArrayLoader, _synthetic_cifar10
+
+        data = _synthetic_cifar10(50_000, seed=0)
+        t0 = time.perf_counter()
+        loader = ArrayLoader(data, args.batch, shuffle=True, drop_last=True,
+                             normalize=False, image_size=args.image_size)
+        build_s = time.perf_counter() - t0
+        n = sum(xb.shape[0] for xb, _ in loader)  # warm epoch
+        t0 = time.perf_counter()
+        total = 0
+        for _ in range(3):
+            total += sum(xb.shape[0] for xb, _ in loader)
+        rate = total / (time.perf_counter() - t0)
+        device_demand = 1055.0 if args.image_size == 64 else 2141.8
+        print(json.dumps({
+            "metric": "cifar10_host_feed_images_per_sec",
+            "value": round(rate, 1),
+            "unit": "images/sec",
+            "vs_baseline": round(rate / device_demand, 2),
+            "image_size": args.image_size, "batch": args.batch,
+            "one_time_resize_s": round(build_s, 2),
+            "device_demand_images_per_sec": device_demand,
+        }))
+        return
 
     from ddm_tpu.data.augment import augment_cifar10
     from ddm_tpu.models.dit import DDDMDiT

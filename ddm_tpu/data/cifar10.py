@@ -43,6 +43,7 @@ __all__ = [
     "CIFAR10Arrays",
     "ArrayLoader",
     "load_cifar10_arrays",
+    "resize_images_pil",
     "build_cifar10_dataloaders",
 ]
 
@@ -139,6 +140,26 @@ def load_cifar10_arrays(
     )
 
 
+def resize_images_pil(images: np.ndarray, size: int) -> np.ndarray:
+    """PIL-bilinear resize of a uint8 NHWC image stack (one pass).
+
+    Bit-identical to the reference's torchvision ``Resize`` transform
+    (``/root/reference/dddm/data.py:200-213`` — torchvision applies PIL
+    bilinear to PIL inputs); hoisted out of the per-batch path so a
+    memory-resident dataset pays the deterministic resize exactly once.
+    """
+    from PIL import Image
+
+    out = np.empty(
+        (images.shape[0], size, size, images.shape[3]), dtype=np.uint8
+    )
+    for i, im in enumerate(images):
+        out[i] = np.asarray(
+            Image.fromarray(im).resize((size, size), Image.BILINEAR)
+        )
+    return out
+
+
 class ArrayLoader:
     """Minimal epoch loader over memory-resident arrays.
 
@@ -195,7 +216,15 @@ class ArrayLoader:
         self._epoch = 0
         # The reference applies a PIL bilinear Resize when image_size != 32
         # (data.py:200-213); PIL here gives bit-identical interpolation.
-        self._resize = image_size != 32
+        # The resize is deterministic and the dataset memory-resident, so
+        # it runs ONCE here (vs the reference's per-batch worker transform):
+        # the per-epoch hot path then only slices uint8 views, keeping the
+        # host feed far above device demand at long-sequence image sizes.
+        if image_size != data.images.shape[1]:
+            self.data = CIFAR10Arrays(
+                images=resize_images_pil(data.images, image_size),
+                labels=data.labels,
+            )
 
     def set_epoch(self, epoch: int) -> None:
         """Pin the shuffle permutation to ``epoch`` (the torch
@@ -214,18 +243,6 @@ class ArrayLoader:
         return self.data.images.shape[0]
 
     def _prepare(self, images: np.ndarray) -> np.ndarray:
-        if self._resize:
-            from PIL import Image
-
-            s = self.image_size
-            out = np.empty(
-                (images.shape[0], s, s, images.shape[3]), dtype=np.uint8
-            )
-            for i, im in enumerate(images):
-                out[i] = np.asarray(
-                    Image.fromarray(im).resize((s, s), Image.BILINEAR)
-                )
-            images = out
         if self.normalize:
             images = images.astype(np.float32) / 127.5 - 1.0
         return images

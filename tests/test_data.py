@@ -193,3 +193,53 @@ def test_loader_set_epoch_reproduces_continuous_order():
     resumed.set_epoch(2)
     for a, b in zip(epochs[2], batches(resumed)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_resize_once_matches_per_image_pil_and_feeds_fast():
+    """image_size != 32: the loader resizes the memory-resident array ONCE
+    at construction (VERDICT r3 weak #1 — the old path re-resized every
+    batch of every epoch with a Python PIL loop). Parity: the hoisted
+    resize must be bit-identical to the per-image PIL path on shuffled
+    batches; throughput: the per-epoch hot path is pure uint8 slicing, so
+    the host feed must clear the measured 64px device demand (~1,055
+    img/s, PARITY r3) with a wide margin even on this 1-core CPU box.
+    """
+    import time
+
+    from PIL import Image
+
+    from ddm_tpu.data.cifar10 import _synthetic_cifar10, resize_images_pil
+
+    data = _synthetic_cifar10(512, seed=3)
+    loader = ArrayLoader(data, 64, shuffle=True, drop_last=True,
+                         normalize=False, image_size=64, seed=7)
+    loader.set_epoch(2)
+    batches = list(loader)
+    assert batches[0][0].shape == (64, 64, 64, 3)
+
+    # oracle: per-image PIL resize applied batch-wise on the SAME order
+    order = np.random.default_rng((7, 2)).permutation(512)
+    for b, (xb, yb) in enumerate(batches):
+        idx = order[b * 64:(b + 1) * 64]
+        want = np.stack([
+            np.asarray(Image.fromarray(im).resize((64, 64), Image.BILINEAR))
+            for im in data.images[idx]
+        ])
+        np.testing.assert_array_equal(xb, want)
+        np.testing.assert_array_equal(yb, data.labels[idx])
+
+    # normalize path rides on the resized cache too
+    ev = ArrayLoader(data, 64, shuffle=False, drop_last=False,
+                     normalize=True, image_size=64)
+    xe = next(iter(ev))[0]
+    assert xe.dtype == np.float32 and xe.shape == (64, 64, 64, 3)
+    np.testing.assert_allclose(
+        xe, resize_images_pil(data.images[:64], 64).astype(np.float32)
+        / 127.5 - 1.0)
+
+    # feed rate: epochs after construction never touch PIL
+    loader.set_epoch(3)
+    t0 = time.perf_counter()
+    n = sum(xb.shape[0] for xb, _ in loader)
+    rate = n / (time.perf_counter() - t0)
+    assert rate > 20_000, f"host feed {rate:.0f} img/s too slow"
