@@ -299,13 +299,25 @@ class DiTBlock(nn.Module):
         from ddm_tpu.models.moe import MoEMLP
 
         B, N, D = x.shape
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
-        out = MoEMLP(
+        moe = MoEMLP(
             self.dim, int(self.dim * self.mlp_ratio), self.moe_experts,
             capacity_factor=self.moe_capacity,
             group_size=self.moe_group_size, topk=self.moe_topk, tp=self.tp,
             tp_axis=self.tp_axis, dtype=self.dtype, name="moe",
-        )(h.reshape(B * N, D))
+        )
+        if self.tp_axis is None and self.tp == 1:
+            # replicated path: hand LN2's params to MoEMLP so the fused
+            # Pallas prologue (LN + router + dispatch, one kernel) can
+            # engage; same {scale, bias} tree as nn.LayerNorm
+            s2, b2 = _LNParams(self.dim, name="norm2")()
+            out = moe(x.astype(self.dtype).reshape(B * N, D),
+                      ln_scale=s2, ln_bias=b2)
+        else:
+            # EP path: LN outside (replicated compute), einsum dispatch
+            # with the f/g collective discipline
+            h = nn.LayerNorm(dtype=jnp.float32,
+                             name="norm2")(x).astype(self.dtype)
+            out = moe(h.reshape(B * N, D))
         out = x.astype(jnp.float32) + out.astype(jnp.float32).reshape(B, N, D)
         return out.astype(self.dtype)
 

@@ -107,8 +107,51 @@ class MoEMLP(nn.Module):
     tp_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
 
+    def _fused(self, rows, ln_scale, ln_bias, wr, br, w1, b1, w2, b2,
+               gs: int, cap: int) -> jnp.ndarray:
+        """Fused-kernel body (``ddm_tpu.ops.moe_dispatch``): one Pallas
+        prologue (LN2 + router + top-k capacity dispatch), the tiered
+        expert-FFN kernel, one combine epilogue. The one-hot dispatch
+        tensors never reach HBM; routing state rides as compact
+        ``(pos, gates, probs)`` arrays. Replicated (non-EP) path only."""
+        import jax as _jax
+
+        from ddm_tpu.ops.expert_ffn import expert_ffn_auto
+        from ddm_tpu.ops.moe_dispatch import (
+            MoEDispatchCfg, moe_combine, moe_dispatch,
+        )
+
+        T, D = rows.shape
+        E = self.num_experts
+        cfg = MoEDispatchCfg(
+            gs=gs, cap=cap, cpad=-(-cap // 8) * 8, num_experts=E,
+            topk=self.topk, cdt=jnp.dtype(self.dtype).name,
+        )
+        xin, gates, pos1, pos2, probs = moe_dispatch(
+            cfg, rows, ln_scale, ln_bias, wr, br)
+        pos1 = _jax.lax.stop_gradient(pos1)
+        pos2 = _jax.lax.stop_gradient(pos2)
+        # Switch aux (same formula as the einsum path; frac from the
+        # pre-capacity first-choice onehot, differentiable through probs)
+        oh1 = (pos1 >= 0).astype(jnp.float32)
+        frac = jnp.sum(oh1, axis=(0, 1)) / float(T)
+        mean_p = jnp.mean(probs, axis=(0, 1))
+        self.sow("losses", "moe_aux", E * jnp.sum(frac * mean_p))
+        out = expert_ffn_auto(xin, w1, b1, w2, b2, dtype=self.dtype)
+        return moe_combine(cfg, out, gates, pos1, pos2)
+
     @nn.compact
-    def __call__(self, rows: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, rows: jnp.ndarray,
+                 ln_scale: Optional[jnp.ndarray] = None,
+                 ln_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """``rows`` are token rows ``(T, D)``.
+
+        With ``ln_scale``/``ln_bias`` given, ``rows`` are PRE-LayerNorm and
+        this module owns LN2 — the contract that lets the fused Pallas
+        prologue (``ddm_tpu.ops.moe_dispatch``) run LN + router + dispatch
+        in one kernel on the replicated path. Without them, ``rows`` are
+        already normalised (the sharded/EP path keeps LN outside).
+        """
         shard = self.tp_axis is not None
         e_local = self.num_experts // self.tp if shard else self.num_experts
         T, D = rows.shape
@@ -142,6 +185,25 @@ class MoEMLP(nn.Module):
                         (e_local, self.hidden, self.dim), jnp.float32)
         b2 = self.param("experts_out_bias", nn.initializers.zeros,
                         (e_local, self.dim), jnp.float32)
+
+        if ln_scale is not None:
+            from ddm_tpu.ops.moe_dispatch import moe_dispatch_ok
+
+            # Fused prologue/epilogue kernels (replicated path only; init
+            # traces the jnp body so no kernel compiles inside model.init)
+            if (not shard and self.tp == 1 and not self.is_initializing()
+                    and T_pad == T
+                    and moe_dispatch_ok(T, gs, E, cap, D, self.topk)):
+                return self._fused(rows, ln_scale, ln_bias, wr, br,
+                                   w1, b1, w2, b2, gs, cap)
+            from ddm_tpu.ops.mlp_block import _ln
+
+            # jnp LN2 fallback (off-TPU / ragged / init trace). `rows` may
+            # carry zero padding already; LN maps those rows to the bias
+            # vector, but they are masked out of routing and sliced off
+            # the output, so the value is inert.
+            h, _, _ = _ln(rows.astype(jnp.float32), ln_scale, ln_bias)
+            rows = h.astype(self.dtype)
 
         if shard:
             from ddm_tpu.parallel.tp import tp_region_enter

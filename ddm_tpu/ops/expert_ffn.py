@@ -162,6 +162,14 @@ def _expert_ffn_bwd(res, do):
         grid=(E, S // rb),
         in_specs=[sp["x"], sp["w1"], sp["vecF"], sp["w2"], sp["x"]],
         out_specs=(sp["x"], sp["w1"], sp["vecF"], sp["w2"], sp["vecD"]),
+        # The per-expert weight + dW windows are double-buffered (index
+        # maps change over the expert grid dim), so the resident set sits
+        # right at Mosaic's default 16 MB scoped-vmem line and the final
+        # few hundred KB vary with SURROUNDING-program layouts (see the
+        # _row_block comment). Raise the per-kernel cap: v5e VMEM is
+        # 128 MB and this kernel's true live set is ~16-17 MB.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
     )(x, w1.astype(x.dtype), b1.reshape(E, 1, F), w2.astype(x.dtype), do)
     return (dx, dw1.astype(w1.dtype), db1.reshape(E, F).astype(b1.dtype),
             dw2.astype(w2.dtype), db2.reshape(E, D).astype(b2.dtype))
