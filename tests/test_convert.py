@@ -299,6 +299,7 @@ def test_reverse_conversion_roundtrips_bitwise():
         np.testing.assert_array_equal(refused[k], sd[k], err_msg=k)
 
 
+@pytest.mark.slow
 def test_to_torch_tool_exports_reference_payload(tmp_path):
     """--to-torch: a ddm_tpu .ckpt exports to a reference-format .pt whose
     functional-oracle forward matches the ddm_tpu model."""

@@ -173,6 +173,7 @@ class TestEnergyGating:
         np.testing.assert_allclose(float(inter), float(i2), rtol=1e-6)
 
 
+@pytest.mark.slow
 class TestProductionShapeInterpret:
     """Interpret-mode numerics at one grid step of the REAL shapes."""
 
