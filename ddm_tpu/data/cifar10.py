@@ -220,7 +220,11 @@ class ArrayLoader:
         # it runs ONCE here (vs the reference's per-batch worker transform):
         # the per-epoch hot path then only slices uint8 views, keeping the
         # host feed far above device demand at long-sequence image sizes.
-        if image_size != data.images.shape[1]:
+        # Trigger matches the reference transform exactly (`size != 32`
+        # adds a Resize op, data.py:200-213) — NOT "size != actual shape":
+        # synthetic non-32px datasets with the default image_size flow
+        # through untouched, as they did through the reference's loader.
+        if image_size != 32:
             self.data = CIFAR10Arrays(
                 images=resize_images_pil(data.images, image_size),
                 labels=data.labels,
