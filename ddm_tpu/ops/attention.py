@@ -266,6 +266,13 @@ def fused_attention(q, k, v, H: int, scale: Optional[float] = None):
         and _core_bwd_block_images(B, N, D, g) >= max(g, 1)
     )
     if not supported:
+        # long-sequence tier: the packed kernel materialises (g*N)^2 fp32
+        # scores and gates off past N=512; --image-size >= 128 (N >= 1024)
+        # streams score tiles with an online softmax instead
+        from .flash import flash_attention_streaming, flash_supported
+
+        if flash_supported(B, N, D, H):
+            return flash_attention_streaming(q, k, v, H, scale)
         return attention_reference(q, k, v, H, scale)
     return _fused_attention(q, k, v, H, scale)
 

@@ -1,0 +1,352 @@
+"""Online-softmax flash attention for long sequences (N >= 1024).
+
+The packed kernel in ``ddm_tpu.ops.attention`` materialises the full
+(g*N)^2 fp32 score tile in VMEM — ideal at the DiT patch counts it was
+built for (N <= 512), impossible beyond: at N = 1024 a single head's
+score matrix is already 4 MB and the backward needs several of them.
+This module is the long-sequence tier of the dispatch ladder, engaged by
+``fused_attention`` when the reference's ``--image-size`` knob
+(``/root/reference/train_cifar10_dit.py:378-379``) pushes the token count
+past what the packed kernel supports; behavioural contract is the same
+plain bidirectional softmax attention with scale = Dh**-0.5
+(``/root/reference/dddm/model.py:132-153``).
+
+Design, engineered for the TPU memory hierarchy rather than translated
+from any GPU flash kernel:
+
+- Grid ``(B, H // hp)``: one grid step per (image, head group), where a
+  head group is ``hp = 128 // Dh`` heads — exactly one 128-lane tile, the
+  narrowest block Mosaic accepts (and the natural DMA width). K and V for
+  the whole group stay VMEM-resident — at Dh = 64 a group's K is N*256
+  bytes in bf16, i.e. 256 KB even at N = 1024 — so unlike HBM-streaming
+  GPU designs the ONLY thing that must be tiled is the fp32 score matrix.
+- **Head-pair packing**: per q row-tile the hp heads are stacked
+  BLOCK-DIAGONALLY over the 128 lanes — ``q_pack`` row-group e holds head
+  e's queries in its own Dh-lane band, zeros elsewhere — so the score
+  matmul against the group's native ``[k_0 | k_1]`` lane-packed K tile
+  contracts over all 128 lanes at once: both heads' (bq, bk) score tiles
+  from ONE full-efficiency MXU pass, where per-head slices would contract
+  over Dh = 64 lanes at half rate. The same identity makes dv, dp and dk
+  single full-width matmuls in the backward. Only the PV product (and dq)
+  pay an hp-fold redundancy for lane-crossing garbage that a mask
+  discards — and a (bq, bk) @ (bk, 128) product at full rate costs the
+  same as the (bq, bk) @ (bk, 64) half-width product it replaces. No
+  64-lane register slicing anywhere.
+- Inside a grid step a ``lax.fori_loop`` walks (bq, bk) score tiles with
+  the running-max/sum online softmax; compile time and VMEM are O(1) in
+  N. The tile chooser prefers bk = N (one k tile: the online correction
+  degenerates to a single softmax and PV contracts over the whole row),
+  with fwd and bwd tiled independently — the backward holds ~4 fp32 score
+  tiles live and needs smaller bq.
+- The forward writes ``lse = m + log(l)`` (shape (B*H/hp, N, hp), fp32):
+  the backward rebuilds normalised probabilities per tile as
+  exp(s - lse) without a second online pass.
+- The backward is ONE kernel on the same grid: dk/dv accumulate into
+  full-group fp32 VMEM scratch across the q-tile loop (grid steps are
+  sequential on TPU, but these scratches are re-zeroed every step since
+  each (image, group) is independent), dq accumulates in the k-tile loop
+  carry. dsum = rowsum(dO * O) is computed in-kernel from the saved
+  output — no extra XLA pass over HBM.
+
+Head groups are sliced out of the (B, N, H*Dh) layout by the BlockSpec
+index map (lane offset hg*128), so the model pays zero transposes around
+the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_config import interpret_mode, kernels_enabled
+
+__all__ = ["flash_attention_streaming", "flash_supported"]
+
+_NEG_BIG = -1e30  # -inf would turn exp(m - m_new) into NaN on the first tile
+_LANES = 128
+
+
+def _pallas_call(*args, **kwargs):
+    return pl.pallas_call(*args, interpret=interpret_mode(), **kwargs)
+
+
+def _heads_per_group(Dh: int) -> int:
+    """Heads per 128-lane block (0 if Dh cannot tile lanes exactly)."""
+    if Dh >= _LANES:
+        return 1 if Dh % _LANES == 0 else 0
+    return _LANES // Dh if _LANES % Dh == 0 else 0
+
+
+def _fwd_bytes(N: int, W: int, hp: int, bq: int, bk: int) -> int:
+    """VMEM estimate for the forward at one (bq, bk) choice: 4 group
+    blocks double-buffered + lse out + 2 fp32 score tiles (s, p) at the
+    packed (hp*bq, bk) shape + the fp32 acc carry."""
+    blocks = 4 * 2 * N * W * 2 + 2 * N * hp * 4
+    return blocks + 2 * hp * bq * bk * 4 + hp * bq * W * 4
+
+
+def _bwd_bytes(N: int, W: int, hp: int, bq: int, bk: int) -> int:
+    """Backward estimate: 6 input + 3 output group blocks double-buffered,
+    2 full-group fp32 dk/dv scratches, 4 fp32 packed score tiles
+    (s, p, dp, ds) + the packed dq carry and q/do packs."""
+    blocks = 9 * 2 * N * W * 2 + 2 * N * hp * 4
+    scratch = 2 * N * W * 4
+    tiles = 4 * hp * bq * bk * 4 + 3 * hp * bq * W * 4
+    return blocks + scratch + tiles
+
+
+_BUDGET = 14 * 1024 * 1024  # leave Mosaic headroom inside 16 MB VMEM
+
+
+def _pick(N: int, W: int, hp: int, estimate) -> tuple:
+    """Largest (bq, bk) under the budget, preferring one k tile (bk = N,
+    no online correction, full-row PV contraction), then larger bq."""
+    for bk in (N, 1024, 512, 256):
+        if bk > N or N % bk:
+            continue
+        for bq in (512, 256, 128):
+            if bq > N or N % bq:
+                continue
+            if estimate(N, W, hp, bq, bk) < _BUDGET:
+                return bq, bk
+    return 0, 0
+
+
+def _tile_sizes(N: int, Dh: int):
+    """((bq_f, bk_f), (bq_b, bk_b)) for fwd/bwd; ((0,0),(0,0)) if no fit."""
+    hp = _heads_per_group(Dh)
+    if hp == 0:
+        return (0, 0), (0, 0)
+    W = hp * Dh
+    f = _pick(N, W, hp, _fwd_bytes)
+    b = _pick(N, W, hp, _bwd_bytes)
+    if f[0] == 0 or b[0] == 0:
+        return (0, 0), (0, 0)
+    return f, b
+
+
+def flash_supported(B: int, N: int, D: int, H: int) -> bool:
+    """True when the streaming kernel can run (B, N, H*Dh) attention."""
+    if H <= 0 or D % H:
+        return False
+    Dh = D // H
+    hp = _heads_per_group(Dh)
+    return (
+        kernels_enabled()
+        and N >= 1024
+        and hp > 0
+        and H % hp == 0
+        and _tile_sizes(N, Dh)[0][0] > 0
+    )
+
+
+def _lane_masks(hp: int, W: int, dtype):
+    """mask[e]: (1, W) with ones on head e's Dh-lane band."""
+    if hp == 1:
+        return [jnp.ones((1, W), dtype)]
+    Dh = W // hp
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    return [(lane // Dh == e).astype(dtype) for e in range(hp)]
+
+
+def _pack_rows(t, masks):
+    """(bq, W) tile -> (hp*bq, W) block-diagonal head stack."""
+    if len(masks) == 1:
+        return t
+    return jnp.concatenate([t * m for m in masks], axis=0)
+
+
+def _unpack_rows(t, masks, bq):
+    """(hp*bq, W) -> (bq, W): keep row-group e's own lane band, sum."""
+    if len(masks) == 1:
+        return t
+    return sum(t[e * bq:(e + 1) * bq, :] * masks[e]
+               for e in range(len(masks)))
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, hp: int, bq: int,
+                bk: int, scale: float):
+    _, N, W = q_ref.shape
+    nq, nk = N // bq, N // bk
+    dtype = q_ref.dtype
+    masks = _lane_masks(hp, W, dtype)
+
+    def q_tile(i, _):
+        rows = pl.ds(i * bq, bq)
+        qp = _pack_rows(q_ref[0, rows, :], masks)     # (hp*bq, W)
+
+        def k_tile(j, carry):
+            m, l, acc = carry
+            kslab = pl.ds(j * bk, bk)
+            s = jax.lax.dot_general(
+                qp, k_ref[0, kslab, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                  # (hp*bq, bk)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jnp.dot(p.astype(dtype), v_ref[0, kslab, :],
+                         preferred_element_type=jnp.float32)
+            return m_new, l, acc * corr + pv
+
+        m0 = jnp.full((hp * bq, 1), _NEG_BIG, jnp.float32)
+        l0 = jnp.zeros((hp * bq, 1), jnp.float32)
+        a0 = jnp.zeros((hp * bq, W), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, nk, k_tile, (m0, l0, a0))
+        o_ref[0, rows, :] = _unpack_rows(acc / l, masks,
+                                         bq).astype(o_ref.dtype)
+        lse = m + jnp.log(l)                           # (hp*bq, 1)
+        for e in range(hp):
+            lse_ref[0, rows, e:e + 1] = lse[e * bq:(e + 1) * bq, :]
+        return 0
+
+    jax.lax.fori_loop(0, nq, q_tile, 0)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                dq_ref, dk_ref, dv_ref, dk_s, dv_s, *, hp: int, bq: int,
+                bk: int, scale: float):
+    _, N, W = q_ref.shape
+    nq, nk = N // bq, N // bk
+    dtype = q_ref.dtype
+    masks = _lane_masks(hp, W, dtype)
+    fmasks = _lane_masks(hp, W, jnp.float32)
+    # scratch persists across grid steps; each (image, group) is independent
+    dk_s[:] = jnp.zeros_like(dk_s)
+    dv_s[:] = jnp.zeros_like(dv_s)
+
+    def q_tile(i, _):
+        rows = pl.ds(i * bq, bq)
+        qp = _pack_rows(q_ref[0, rows, :], masks)
+        dop = _pack_rows(do_ref[0, rows, :], masks)
+        op = _pack_rows(o_ref[0, rows, :], masks)
+        dsum = jnp.sum(dop.astype(jnp.float32) * op.astype(jnp.float32),
+                       axis=-1, keepdims=True)         # (hp*bq, 1)
+
+        def k_tile(j, dq_acc):
+            kslab = pl.ds(j * bk, bk)
+            kt = k_ref[0, kslab, :]
+            s = jax.lax.dot_general(
+                qp, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            # normalised probs; the lse subtraction runs per row group
+            # (Mosaic cannot concat lane-sliced (bq, 1) vectors across
+            # lane offsets, but full-width (bq, bk) tiles concat fine)
+            if hp == 1:
+                p = jnp.exp(s - lse_ref[0, rows, 0:1])
+            else:
+                p = jnp.concatenate(
+                    [jnp.exp(s[e * bq:(e + 1) * bq, :]
+                             - lse_ref[0, rows, e:e + 1])
+                     for e in range(hp)], axis=0)
+            pb = p.astype(dtype)
+            dv_s[kslab, :] += jax.lax.dot_general(
+                pb, dop, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                          # (bk, W) lane-packed
+            dp = jax.lax.dot_general(
+                dop, v_ref[0, kslab, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = (p * (dp - dsum) * scale).astype(dtype)
+            dk_s[kslab, :] += jax.lax.dot_general(
+                ds, qp, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return dq_acc + jnp.dot(ds, kt,
+                                    preferred_element_type=jnp.float32)
+
+        dq0 = jnp.zeros((hp * bq, W), jnp.float32)
+        dq = jax.lax.fori_loop(0, nk, k_tile, dq0)
+        dq_ref[0, rows, :] = _unpack_rows(dq, fmasks,
+                                          bq).astype(dq_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nq, q_tile, 0)
+    dk_ref[0, :, :] = dk_s[:].astype(dk_ref.dtype)
+    dv_ref[0, :, :] = dv_s[:].astype(dv_ref.dtype)
+
+
+def _group_specs(B: int, N: int, D: int, H: int, hp: int):
+    W = (D // H) * hp
+    G = H // hp
+    blk = pl.BlockSpec((1, N, W), lambda b, g: (b, 0, g),
+                       memory_space=pltpu.VMEM)
+    lse = pl.BlockSpec((1, N, hp), lambda b, g: (b * G + g, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return blk, lse
+
+
+def _flash_fwd_call(q, k, v, H: int, scale: float):
+    B, N, D = q.shape
+    Dh = D // H
+    hp = _heads_per_group(Dh)
+    (bq, bk), _ = _tile_sizes(N, Dh)
+    blk, lse_spec = _group_specs(B, N, D, H, hp)
+    o, lse = _pallas_call(
+        functools.partial(_fwd_kernel, hp=hp, bq=bq, bk=bk, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H // hp, N, hp), jnp.float32),
+        ),
+        grid=(B, H // hp),
+        in_specs=[blk, blk, blk],
+        out_specs=(blk, lse_spec),
+    )(q, k, v)
+    return o, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, H: int, scale: float):
+    return _flash_fwd_call(q, k, v, H, scale)[0]
+
+
+def _flash_fwd(q, k, v, H: int, scale: float):
+    o, lse = _flash_fwd_call(q, k, v, H, scale)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_bwd(H: int, scale: float, res, do):
+    q, k, v, o, lse = res
+    B, N, D = q.shape
+    Dh = D // H
+    hp = _heads_per_group(Dh)
+    _, (bq, bk) = _tile_sizes(N, Dh)
+    blk, lse_spec = _group_specs(B, N, D, H, hp)
+    shp = jax.ShapeDtypeStruct((B, N, D), q.dtype)
+    W = Dh * hp
+    dq, dk, dv = _pallas_call(
+        functools.partial(_bwd_kernel, hp=hp, bq=bq, bk=bk, scale=scale),
+        out_shape=(shp, shp, shp),
+        grid=(B, H // hp),
+        in_specs=[blk, blk, blk, blk, blk, lse_spec],
+        out_specs=(blk, blk, blk),
+        scratch_shapes=[
+            pltpu.VMEM((N, W), jnp.float32),
+            pltpu.VMEM((N, W), jnp.float32),
+        ],
+    )(q, k, v, o, do, lse)
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention_streaming(q, k, v, H: int,
+                              scale: Optional[float] = None):
+    """Long-sequence multi-head attention over (B, N, H*Dh) inputs.
+
+    Caller (``fused_attention``) is responsible for checking
+    :func:`flash_supported`; this function assumes the shapes fit.
+    """
+    B, N, D = q.shape
+    if scale is None:
+        scale = (D // H) ** -0.5
+    return _flash(q, k, v, H, scale)
