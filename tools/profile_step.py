@@ -37,14 +37,14 @@ def build_step(args):
 
     mesh = make_mesh(tp=1)
     model = DDDMDiT(
-        img_size=32, patch_size=args.patch_size, embed_dim=args.embed_dim,
+        img_size=args.image_size, patch_size=args.patch_size, embed_dim=args.embed_dim,
         depth=args.depth, num_heads=args.heads, time_embed_dim=256,
         dtype=jnp.bfloat16, data_format="NHWC", attention_impl="auto",
         fused_mlp=True, remat=args.remat,
         moe_experts=args.moe_experts, moe_group_size=args.moe_group_size,
     )
     key = jax.random.PRNGKey(0)
-    dummy = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    dummy = jnp.zeros((1, args.image_size, args.image_size, 3), jnp.float32)
     params = model.init(key, dummy, jnp.zeros((1,)), dummy)
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(1e-4, weight_decay=0.01))
@@ -58,9 +58,10 @@ def build_step(args):
         preprocess=lambda k, b: augment_cifar10(k, b),
         target_transform=lambda x0: patchify_images(x0, args.patch_size),
     )
+    I = args.image_size
     batch = shard_batch(
         np.random.default_rng(0).integers(
-            0, 256, size=(args.batch, 32, 32, 3), dtype=np.uint8),
+            0, 256, size=(args.batch, I, I, 3), dtype=np.uint8),
         mesh,
     )
     return step, state, batch, key
@@ -115,6 +116,7 @@ def main():
     ap.add_argument("--depth", type=int, default=8)
     ap.add_argument("--heads", type=int, default=6)
     ap.add_argument("--patch-size", type=int, default=4)
+    ap.add_argument("--image-size", type=int, default=32)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--moe-experts", type=int, default=0)
     ap.add_argument("--moe-group-size", type=int, default=512)
