@@ -206,43 +206,38 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 # m=32 sweep point (BASELINE.json; reference knob `--m`,
 # /root/reference/dddm/losses.py:16-24) that is 496 unrolled dot-reduces and
 # an unacceptable compile. This tier walks anchors with an in-kernel
-# ``fori_loop`` instead: per anchor i, ONE vectorised (bb, m, D) difference
-# block against the whole VMEM-resident prediction set. Each unordered pair
-# is visited twice (once per anchor), exactly like the jnp chunked scan
-# (``losses._interaction_mean_chunked``) — but the per-anchor (B, m, D)
-# buffer that tier re-reads from HBM every scan step (and recomputes in the
-# backward under jax.checkpoint) stays in VMEM here.
+# ``fori_loop`` instead: per anchor i, ONE vectorised (m, D) difference
+# block against the image's whole VMEM-resident prediction set. Each
+# unordered pair is visited twice (once per anchor), exactly like the jnp
+# chunked scan (``losses._interaction_mean_chunked``) — but the per-anchor
+# (B, m, D) buffer that tier re-reads from HBM every scan step (and
+# recomputes in the backward under jax.checkpoint) stays in VMEM here.
+#
+# Grid is (B,) with one image's (m, D) set per step and all in-kernel math
+# strictly 2-D: every broadcast is a lane/sublane pattern the attention and
+# MLP kernels already use. (The first cut blocked several images with 3-D
+# (bb, m, D) math — Mosaic rejected the keepdims broadcasts with "invalid
+# relayout: non-singleton logical dimension is replicated", so 2-D it is.)
 #
 # The backward exploits a streaming identity: the gradient ROW of anchor i
 # is complete after its own pass — dxh_i = 4*gi*sum_j w_ij (x_i - x_j) with
 # w = dpow(d2) — because the (j, i) visit of each pair contributes the same
-# row it would have added to i. So the backward writes one (bb, 1, D) row
-# per loop step and never accumulates across anchors.
+# row it would have added to i. So the backward seeds the output block with
+# the confinement gradient and accumulates one (1, D) row per loop step,
+# never across anchors.
 # ---------------------------------------------------------------------------
 
 _STREAM_M_MAX = 64
 
 
-def _choose_bb_stream(B: int, m: int, D: int) -> int:
-    """Image-block size for the streamed tier. x0 rides as (bb, 1, D) so bb
-    is a free leading dim (no sublane rule); pick the largest power of two
-    dividing B whose backward working set (~8 live (bb, m, D) fp32 buffers:
-    double-buffered in/out blocks, the xh/g0 values held across the anchor
-    loop, per-anchor diff/w temporaries) stays inside a 14 MB budget."""
-    bb = 8
-    while bb > 1 and (B % bb != 0 or 8 * bb * m * D * 4 > 14 * 1024 * 1024):
-        bb //= 2
-    return bb
-
-
 def _stream_supported(B: int, m: int, D: int) -> bool:
-    bb = _choose_bb_stream(B, m, D)
+    # working set: double-buffered (1, m, D) in/out blocks + the fp32 xh/g0
+    # values held across the anchor loop + per-anchor temporaries
     return (
         16 < m <= _STREAM_M_MAX
-        and B % bb == 0
         and D % 128 == 0
-        and m % 8 == 0  # (bb, m, D) blocks: m is the sublane dim
-        and 8 * bb * m * D * 4 <= 14 * 1024 * 1024
+        and m % 8 == 0  # (1, m, D) blocks: m is the sublane dim
+        and 8 * m * D * 4 <= 14 * 1024 * 1024
     )
 
 
@@ -253,20 +248,23 @@ def _fwd_kernel_stream(xh_ref, x0_ref, conf_ref, inter_ref, *, m: int,
         conf_ref[0, 0] = 0.0
         inter_ref[0, 0] = 0.0
 
-    bb = xh_ref.shape[0]
-    xh = xh_ref[:].astype(jnp.float32)        # (bb, m, D)
-    x0 = x0_ref[:].astype(jnp.float32)        # (bb, 1, D)
+    xh = xh_ref[0].astype(jnp.float32)        # (m, D)
+    x0 = x0_ref[0].astype(jnp.float32)        # (1, D)
 
-    diff0 = xh - x0                            # (bb, m, D)
-    d20 = jnp.sum(diff0 * diff0, axis=-1)      # (bb, m)
+    diff0 = xh - x0                            # (m, D)
+    # keepdims everywhere: Mosaic rejects the lane-replicated 1-D vectors
+    # a bare axis=-1 reduce produces ("invalid relayout ... replicated")
+    d20 = jnp.sum(diff0 * diff0, axis=-1, keepdims=True)   # (m, 1)
     conf_ref[0, 0] += jnp.sum(_pow_beta(d20, beta))
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (bb, m), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
 
     def anchor(i, acc):
-        xi = jax.lax.dynamic_slice_in_dim(xh, i, 1, axis=1)  # (bb, 1, D)
+        # Mosaic lowers dynamic slicing only through refs (pl.ds), not on
+        # register values — re-read the anchor row from the VMEM window
+        xi = xh_ref[0, pl.ds(i, 1), :].astype(jnp.float32)   # (1, D)
         diff = xh - xi
-        d2 = jnp.sum(diff * diff, axis=-1)                   # (bb, m)
+        d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)    # (m, 1)
         mask = (col != i).astype(jnp.float32)
         return acc + jnp.sum(_pow_beta(d2, beta) * mask)
 
@@ -277,27 +275,27 @@ def _bwd_kernel_stream(xh_ref, x0_ref, gc_ref, gi_ref, dxh_ref, dx0_ref,
                        *, m: int, beta: float):
     gc = gc_ref[0, 0]
     gi = gi_ref[0, 0]
-    bb = xh_ref.shape[0]
-    xh = xh_ref[:].astype(jnp.float32)        # (bb, m, D)
-    x0 = x0_ref[:].astype(jnp.float32)        # (bb, 1, D)
+    xh = xh_ref[0].astype(jnp.float32)        # (m, D)
+    x0 = x0_ref[0].astype(jnp.float32)        # (1, D)
 
-    # confinement: all rows at once (no pair structure)
-    diff0 = xh - x0                            # (bb, m, D)
+    # confinement: all rows at once (no pair structure); seed the output
+    # block with it so the anchor loop can accumulate rows in place
+    diff0 = xh - x0                            # (m, D)
     d20 = jnp.sum(diff0 * diff0, axis=-1, keepdims=True)
     g0 = (2.0 * gc) * _dpow_beta(d20, beta) * diff0
-    dx0_ref[:] = -jnp.sum(g0, axis=1, keepdims=True).astype(dx0_ref.dtype)
+    dx0_ref[0] = -jnp.sum(g0, axis=0, keepdims=True).astype(dx0_ref.dtype)
+    dxh_ref[0] = g0.astype(dxh_ref.dtype)
 
-    col3 = jax.lax.broadcasted_iota(jnp.int32, (bb, m, 1), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
 
     def anchor(i, _):
-        xi = jax.lax.dynamic_slice_in_dim(xh, i, 1, axis=1)
+        xi = xh_ref[0, pl.ds(i, 1), :].astype(jnp.float32)    # (1, D)
         diff = xi - xh                                        # x_i - x_j
-        d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)     # (bb, m, 1)
-        w = _dpow_beta(d2, beta) * (col3 != i).astype(jnp.float32)
+        d2 = jnp.sum(diff * diff, axis=-1, keepdims=True)     # (m, 1)
+        w = _dpow_beta(d2, beta) * (col != i).astype(jnp.float32)
         # 4 = 2 visits per unordered pair x d(d2)/dx_i chain factor 2
-        row = (4.0 * gi) * jnp.sum(w * diff, axis=1, keepdims=True)
-        gi0 = jax.lax.dynamic_slice_in_dim(g0, i, 1, axis=1)
-        dxh_ref[:, pl.ds(i, 1), :] = (row + gi0).astype(dxh_ref.dtype)
+        row = (4.0 * gi) * jnp.sum(w * diff, axis=0, keepdims=True)
+        dxh_ref[0, pl.ds(i, 1), :] += row.astype(dxh_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, m, anchor, 0)
@@ -310,18 +308,17 @@ def _fused_stream(x0hats, x0, beta: float):
 
 def _stream_fwd_call(x0hats, x0, beta: float):
     B, m, D = x0hats.shape
-    bb = _choose_bb_stream(B, m, D)
     conf_sum, inter_sum = _pallas_call(
         functools.partial(_fwd_kernel_stream, m=m, beta=beta),
         out_shape=(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
-        grid=(B // bb,),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((bb, m, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, m, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 1, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -342,7 +339,6 @@ def _stream_bwd(beta: float, res, grads):
     x0hats, x0 = res
     gconf, ginter = grads
     B, m, D = x0hats.shape
-    bb = _choose_bb_stream(B, m, D)
     gc = jnp.reshape(gconf / (B * m), (1, 1)).astype(jnp.float32)
     gi = jnp.reshape(ginter / (B * m * (m - 1)), (1, 1)).astype(jnp.float32)
     dxh, dx0 = _pallas_call(
@@ -351,19 +347,19 @@ def _stream_bwd(beta: float, res, grads):
             jax.ShapeDtypeStruct((B, m, D), x0hats.dtype),
             jax.ShapeDtypeStruct((B, 1, D), x0.dtype),
         ),
-        grid=(B // bb,),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((bb, m, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, m, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 1, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((bb, m, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, m, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, 1, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 1, D), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
     )(x0hats, x0[:, None, :], gc, gi)

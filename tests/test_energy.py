@@ -110,5 +110,4 @@ def test_stream_dispatch_gate(monkeypatch):
     assert not E._stream_supported(256, 8, 3072)    # unrolled kernel's range
     assert not E._stream_supported(256, 128, 3072)  # above _STREAM_M_MAX
     assert not E._stream_supported(256, 20, 3072)   # m must tile sublanes
-    bb = E._choose_bb_stream(256, 32, 3072)
-    assert 256 % bb == 0 and bb >= 1
+    assert not E._stream_supported(256, 64, 32768)  # VMEM working set
