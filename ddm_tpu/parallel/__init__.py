@@ -59,4 +59,7 @@ __all__ = [
     "from_pipeline_params",
     "pipeline_tree_shardings",
     "make_pipelined_apply",
+    "ici",
 ]
+
+from . import ici  # noqa: E402  (analytic ICI roofline + HLO footprint)

@@ -1,0 +1,162 @@
+"""Multi-chip readiness: the collective schedule XLA actually emits.
+
+No pod is reachable from this environment, so ROOFLINE §6's scaling
+predictions rest on two legs: the analytic ring-collective model in
+``ddm_tpu.parallel.ici`` and THESE assertions that the compiled HLO of
+the sharded train steps moves exactly the bytes that model charges —
+e.g. that DP emits one gradient allreduce pass totalling the fp32
+parameter bytes, and FSDP replaces it with all-gather + reduce-scatter
+of the same volume. If a refactor silently degrades the schedule
+(per-parameter chatter, allreduce+slice instead of reduce-scatter), the
+byte accounting fails here before any pod time is wasted.
+
+Reference anchor: BASELINE config 5 ("multi-chip data-parallel ...
+ICI allreduce"); SURVEY §5.8.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ddm_tpu.models.mlp import DDDMMLP
+from ddm_tpu.parallel import (
+    REPLICATED_RULES, fsdp_tree_shardings, make_mesh,
+    make_sharded_train_step, place_train_state, shard_batch,
+)
+from ddm_tpu.parallel.ici import (
+    all_reduce_seconds, collective_footprint, dp_efficiency,
+)
+from ddm_tpu.training import TrainState
+
+pytestmark = pytest.mark.slow
+
+HP = dict(m=4, beta=0.1, lam=1.0, w_bias=0.0)
+
+
+def _mlp_state():
+    model = DDDMMLP(hidden=64)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2)),
+                        jnp.zeros((1,)), jnp.zeros((1, 2)))
+    return model, TrainState.create(
+        apply_fn=model.apply, params=params, tx=optax.adam(1e-2))
+
+
+def _compiled_hlo(step, state, batch):
+    key = jax.random.PRNGKey(1)
+    return jax.jit(step).lower(state, key, batch).compile().as_text()
+
+
+def _param_bytes(params, dtype_bytes=4):
+    return sum(x.size for x in jax.tree.leaves(params)) * dtype_bytes
+
+
+def test_dp_grad_allreduce_bytes_match_analytic():
+    """Replicated DP: all-reduced fp32 bytes == parameter bytes (+ the
+    handful of scalar loss/metric means), in O(1) fused ops — the volume
+    the ROOFLINE §6 model charges as 2*V*(n-1)/n over the ring."""
+    model, state = _mlp_state()
+    mesh = make_mesh()
+    state, shardings = place_train_state(state, mesh, REPLICATED_RULES)
+    step = make_sharded_train_step(model.apply, mesh, shardings,
+                                   dp_shard_map=True, **HP)
+    batch = shard_batch(np.zeros((64, 2), np.float32), mesh)
+    hlo = _compiled_hlo(step, state, batch)
+    fp = collective_footprint(hlo)
+    assert "all-reduce" in fp, f"no allreduce in DP step: {fp}"
+    count, byt = fp["all-reduce"]
+    pbytes = _param_bytes(state.params)
+    # grads fp32 == param bytes; scalars (loss/conf/inter/weight means,
+    # grad-norm for the clipper) add < 1 KB
+    assert pbytes <= byt <= pbytes + 1024, (byt, pbytes)
+    # the allreduce combiner keeps it to a few fused ops, not per-param
+    assert count <= 8, f"{count} allreduce ops — schedule degraded"
+    # nothing else should appear in plain DP
+    for kind in ("all-gather", "reduce-scatter", "all-to-all"):
+        assert kind not in fp, f"unexpected {kind} in DP step: {fp}"
+
+
+def test_fsdp_schedule_is_gather_plus_scatter():
+    """ZeRO-3: the DP grad allreduce is replaced by param all-gathers
+    (fwd + bwd recompute of the gather) and a grad reduce-scatter; the
+    wire volume per phase is the analytic V*(n-1)/n, not 2x."""
+    model, state = _mlp_state()
+    mesh = make_mesh()
+    fsdp_sh = fsdp_tree_shardings(state, mesh, min_size=64)
+    state, sh = place_train_state(state, mesh, shardings=fsdp_sh)
+    step = make_sharded_train_step(model.apply, mesh, sh,
+                                   dp_shard_map=True, fsdp=True, **HP)
+    batch = shard_batch(np.zeros((64, 2), np.float32), mesh)
+    hlo = _compiled_hlo(step, state, batch)
+    fp = collective_footprint(hlo)
+    assert "all-gather" in fp, f"no all-gather in FSDP step: {fp}"
+    assert "reduce-scatter" in fp or "all-reduce" in fp, fp
+    # sharded params (min_size=64 leaves tiny biases replicated)
+    sharded = sum(
+        x.size for x, s in zip(jax.tree.leaves(state.params),
+                               [s.spec for s in jax.tree.leaves(sh.params)])
+        if any(ax for ax in s))
+    _, ag_bytes = fp["all-gather"]
+    # >= : the backward re-gathers; == would over-specify XLA's remat
+    assert ag_bytes >= sharded * 4, (ag_bytes, sharded * 4)
+    if "reduce-scatter" in fp:
+        _, rs_bytes = fp["reduce-scatter"]
+        # reduce-scatter output is the 1/n shard of the fp32 grads
+        assert rs_bytes >= sharded * 4 // mesh.devices.size
+
+
+def test_tp_emits_activation_allreduces():
+    """Megatron TP (GSPMD path: replicated module + DIT_TP_RULES param
+    shardings): per-block activation reductions ride the model axis on
+    top of the data-axis grad allreduce."""
+    from ddm_tpu.models.dit import DDDMDiT
+    from ddm_tpu.parallel import DIT_TP_RULES
+
+    mesh = make_mesh(tp=2)
+    model = DDDMDiT(img_size=8, patch_size=2, embed_dim=32, depth=2,
+                    num_heads=2, time_embed_dim=16, data_format="NHWC")
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 3)),
+                        jnp.zeros((2,)), jnp.zeros((2, 8, 8, 3)))
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              tx=optax.adam(1e-3))
+    state, sh = place_train_state(state, mesh, DIT_TP_RULES)
+    step = make_sharded_train_step(model.apply, mesh, sh, **HP)
+    batch = shard_batch(np.zeros((16, 8, 8, 3), np.float32), mesh)
+    hlo = _compiled_hlo(step, state, batch)
+    fp = collective_footprint(hlo)
+    count = sum(fp.get(kind, (0, 0))[0]
+                for kind in ("all-reduce", "reduce-scatter", "all-gather"))
+    # at least per-block activation reductions beyond the fused grad
+    # allreduce (GSPMD may lower psums as reduce-scatter+all-gather)
+    assert count >= 3, f"TP step emitted only {count} collectives: {fp}"
+
+
+def test_analytic_model_sanity():
+    """The §6 closed forms at the documented operating points."""
+    # DiT-S: 58.1 MB fp32 grads, 120 ms step, 8 chips
+    t = all_reduce_seconds(58.1e6, 8)
+    assert 0.8e-3 < t < 1.3e-3  # ~1.0 ms on one v5e axis
+    assert dp_efficiency(0.120, 58.1e6, 8) > 0.99
+    # DiT-L: 1.215 GB grads, 967 ms step
+    assert dp_efficiency(0.967, 1.2154e9, 8) > 0.97
+    # unoverlapped lower bound still >95% for DiT-L
+    assert dp_efficiency(0.967, 1.2154e9, 8, overlap=False) > 0.95
+    # n=1 degenerates to no comms
+    assert all_reduce_seconds(1e9, 1) == 0.0
+    assert dp_efficiency(0.1, 1e9, 1) == 1.0
+
+
+def test_collective_footprint_parser():
+    hlo = """
+  %all-reduce.1 = f32[14518788]{0} all-reduce(f32[14518788]{0} %p), to_apply=%add
+  %ag = (f32[64,2]{1,0}, f32[64,64]{1,0}) all-gather-start(...), dimensions={0}
+  %done = f32[64,64]{1,0} all-gather-done((f32[64,64]) %ag)
+  %rs = bf16[8,16]{1,0} reduce-scatter(bf16[64,16]{1,0} %x), dimensions={0}
+  %cp = f32[4]{0} collective-permute(f32[4]{0} %y), source_target_pairs={{0,1}}
+"""
+    fp = collective_footprint(hlo)
+    assert fp["all-reduce"] == (1, 14518788 * 4)
+    assert fp["all-gather"] == (1, (64 * 2 + 64 * 64) * 4)
+    assert fp["reduce-scatter"] == (1, 8 * 16 * 2)
+    assert fp["collective-permute"] == (1, 16)
