@@ -176,3 +176,36 @@ def test_wrapper_fails_loudly_on_entry_failure(tmp_path):
         env=env, cwd=str(tmp_path), timeout=30,
     )
     assert proc.returncode == 3
+
+
+def test_ab_quality_dry_run_executes_end_to_end(tmp_path):
+    """Run the full quality A/B matrix (`scripts/ab_quality.sh --dry-run`):
+    six arms (base / fast-gelu / bf16 FID tower / churn-0 / MoE top-1 /
+    MoE top-2) through the real entry point on synthetic data with the
+    --dry-eval protocol rehearsal, merged by scripts/collect_ab.py into
+    one ab_quality.json — the artifact the first networked session reads
+    to settle all four real-data-blocked defaults at once (VERDICT r3
+    item 7)."""
+    import json
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["OUT"] = str(tmp_path / "out")
+    proc = subprocess.run(
+        [os.path.join(REPO, "scripts", "ab_quality.sh"), "--dry-run",
+         "--device", "cpu", "--depth", "1", "--time-embed", "16",
+         "--m", "2", "--sample-steps", "2", "--eval-samples", "8",
+         "--eval-batch", "8", "--mmd-samples", "8", "--fid-samples", "8",
+         "--dtype", "float32"],
+        env=env, cwd=str(tmp_path), timeout=1800, capture_output=True,
+    )
+    assert proc.returncode == 0, proc.stdout.decode() + proc.stderr.decode()
+    with open(tmp_path / "out" / "ab_quality.json") as f:
+        result = json.load(f)
+    for arm in ("base", "fast_gelu", "fid_bf16", "churn0",
+                "moe_top1", "moe_top2"):
+        assert result["arms"][arm], f"arm {arm} missing: {result}"
+        assert "mmd" in result["arms"][arm]
+    # every non-base arm got a delta against base
+    assert set(result["delta_vs_base"]) == {
+        "fast_gelu", "fid_bf16", "churn0", "moe_top1", "moe_top2"}
