@@ -38,6 +38,17 @@ from any GPU flash kernel:
   degenerates to a single softmax and PV contracts over the whole row),
   with fwd and bwd tiled independently — the backward holds ~4 fp32 score
   tiles live and needs smaller bq.
+- Above N = 2048 the q-side tensors no longer fit VMEM-whole (the
+  backward holds nine N-length blocks), so the grid gains a third axis
+  over COARSE q chunks of ``cq`` rows: q/o (and do/dq in the backward)
+  stream one chunk per grid step while K/V windows stay grid-constant
+  and dk/dv accumulate into fp32 scratch across the sequential chunk
+  steps (re-zeroed at chunk 0, flushed on the last chunk). At N <= 2048
+  the chooser picks cq = N — one chunk, byte-identical behaviour to the
+  ungridded kernel. This extends support to N = 4096 (image-size 256 at
+  patch 4); past that the backward's grid-constant K/V + dk/dv scratch
+  residency itself outgrows VMEM and the ladder falls back to XLA
+  attention.
 - The forward writes ``lse = m + log(l)`` (shape (B*H/hp, N, hp), fp32):
   the backward rebuilds normalised probabilities per tile as
   exp(s - lse) without a second online pass.
@@ -82,51 +93,64 @@ def _heads_per_group(Dh: int) -> int:
     return _LANES // Dh if _LANES % Dh == 0 else 0
 
 
-def _fwd_bytes(N: int, W: int, hp: int, bq: int, bk: int) -> int:
-    """VMEM estimate for the forward at one (bq, bk) choice: 4 group
-    blocks double-buffered + lse out + 2 fp32 score tiles (s, p) at the
-    packed (hp*bq, bk) shape + the fp32 acc carry."""
-    blocks = 4 * 2 * N * W * 2 + 2 * N * hp * 4
-    return blocks + 2 * hp * bq * bk * 4 + hp * bq * W * 4
+def _fwd_bytes(N: int, W: int, hp: int, cq: int, bq: int, bk: int) -> int:
+    """VMEM estimate for the forward at one (cq, bq, bk) choice: K/V group
+    blocks (grid-constant in the chunk axis but conservatively counted
+    double-buffered — Mosaic double-buffers windows whose index_map
+    changes anywhere across the grid), q/o chunk blocks double-buffered,
+    lse out + 2 fp32 score tiles (s, p) at the packed (hp*bq, bk) shape +
+    the fp32 acc carry."""
+    kv = 2 * 2 * N * W * 2
+    qo = 2 * 2 * cq * W * 2 + 2 * cq * hp * 4
+    return kv + qo + 2 * hp * bq * bk * 4 + hp * bq * W * 4
 
 
-def _bwd_bytes(N: int, W: int, hp: int, bq: int, bk: int) -> int:
-    """Backward estimate: 6 input + 3 output group blocks double-buffered,
-    2 full-group fp32 dk/dv scratches, 4 fp32 packed score tiles
-    (s, p, dp, ds) + the packed dq carry and q/do packs."""
-    blocks = 9 * 2 * N * W * 2 + 2 * N * hp * 4
+def _bwd_bytes(N: int, W: int, hp: int, cq: int, bq: int, bk: int) -> int:
+    """Backward estimate: K/V inputs double-buffered, dk/dv outputs
+    single-buffered (written once per (image, group), on the last chunk),
+    q/do/o inputs + dq output at chunk length, 2 full-group fp32 dk/dv
+    scratches, 4 fp32 packed score tiles (s, p, dp, ds) + the packed dq
+    carry and q/do packs."""
+    kv = 2 * 2 * N * W * 2 + 2 * N * W * 2
+    qblk = 4 * 2 * cq * W * 2 + 2 * cq * hp * 4
     scratch = 2 * N * W * 4
     tiles = 4 * hp * bq * bk * 4 + 3 * hp * bq * W * 4
-    return blocks + scratch + tiles
+    return kv + qblk + scratch + tiles
 
 
 _BUDGET = 14 * 1024 * 1024  # leave Mosaic headroom inside 16 MB VMEM
 
 
 def _pick(N: int, W: int, hp: int, estimate) -> tuple:
-    """Largest (bq, bk) under the budget, preferring one k tile (bk = N,
-    no online correction, full-row PV contraction), then larger bq."""
-    for bk in (N, 1024, 512, 256):
-        if bk > N or N % bk:
+    """Largest (cq, bq, bk) under the budget: prefer one q chunk (cq = N,
+    no cross-grid-step accumulation traffic), then one k tile (bk = N:
+    the online correction degenerates to a single softmax and PV
+    contracts over the whole row), then larger bq."""
+    for cq in (N, 2048, 1024, 512):
+        if cq > N or N % cq:
             continue
-        for bq in (512, 256, 128):
-            if bq > N or N % bq:
+        for bk in (N, 1024, 512, 256):
+            if bk > N or N % bk:
                 continue
-            if estimate(N, W, hp, bq, bk) < _BUDGET:
-                return bq, bk
-    return 0, 0
+            for bq in (512, 256, 128):
+                if bq > cq or cq % bq:
+                    continue
+                if estimate(N, W, hp, cq, bq, bk) < _BUDGET:
+                    return cq, bq, bk
+    return 0, 0, 0
 
 
 def _tile_sizes(N: int, Dh: int):
-    """((bq_f, bk_f), (bq_b, bk_b)) for fwd/bwd; ((0,0),(0,0)) if no fit."""
+    """((cq_f, bq_f, bk_f), (cq_b, bq_b, bk_b)) for fwd/bwd;
+    ((0,0,0),(0,0,0)) if no fit."""
     hp = _heads_per_group(Dh)
     if hp == 0:
-        return (0, 0), (0, 0)
+        return (0, 0, 0), (0, 0, 0)
     W = hp * Dh
     f = _pick(N, W, hp, _fwd_bytes)
     b = _pick(N, W, hp, _bwd_bytes)
     if f[0] == 0 or b[0] == 0:
-        return (0, 0), (0, 0)
+        return (0, 0, 0), (0, 0, 0)
     return f, b
 
 
@@ -171,8 +195,10 @@ def _unpack_rows(t, masks, bq):
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, hp: int, bq: int,
                 bk: int, scale: float):
-    _, N, W = q_ref.shape
-    nq, nk = N // bq, N // bk
+    # q/o/lse refs hold ONE coarse q chunk (cq rows); k/v the full N.
+    _, cq, W = q_ref.shape
+    N = k_ref.shape[1]
+    nq, nk = cq // bq, N // bk
     dtype = q_ref.dtype
     masks = _lane_masks(hp, W, dtype)
 
@@ -212,14 +238,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, hp: int, bq: int,
 def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                 dq_ref, dk_ref, dv_ref, dk_s, dv_s, *, hp: int, bq: int,
                 bk: int, scale: float):
-    _, N, W = q_ref.shape
-    nq, nk = N // bq, N // bk
+    # q/do/o/dq refs hold ONE coarse q chunk; k/v/dk/dv the full N. The
+    # chunk axis is the innermost grid dim, so chunks of one (image,
+    # group) run consecutively: dk/dv accumulate in scratch across them,
+    # re-zeroed on chunk 0 and flushed on the last chunk.
+    _, cq, W = q_ref.shape
+    N = k_ref.shape[1]
+    nq, nk = cq // bq, N // bk
+    nchunks = N // cq
+    chunk = pl.program_id(2)
     dtype = q_ref.dtype
     masks = _lane_masks(hp, W, dtype)
     fmasks = _lane_masks(hp, W, jnp.float32)
-    # scratch persists across grid steps; each (image, group) is independent
-    dk_s[:] = jnp.zeros_like(dk_s)
-    dv_s[:] = jnp.zeros_like(dv_s)
+
+    @pl.when(chunk == 0)
+    def _zero():
+        dk_s[:] = jnp.zeros_like(dk_s)
+        dv_s[:] = jnp.zeros_like(dv_s)
 
     def q_tile(i, _):
         rows = pl.ds(i * bq, bq)
@@ -270,35 +305,41 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         return 0
 
     jax.lax.fori_loop(0, nq, q_tile, 0)
-    dk_ref[0, :, :] = dk_s[:].astype(dk_ref.dtype)
-    dv_ref[0, :, :] = dv_s[:].astype(dv_ref.dtype)
+
+    @pl.when(chunk == nchunks - 1)
+    def _flush():
+        dk_ref[0, :, :] = dk_s[:].astype(dk_ref.dtype)
+        dv_ref[0, :, :] = dv_s[:].astype(dv_ref.dtype)
 
 
-def _group_specs(B: int, N: int, D: int, H: int, hp: int):
+def _group_specs(B: int, N: int, D: int, H: int, hp: int, cq: int):
+    """(full-N spec, cq-chunk spec, cq lse spec) over grid (B, G, N//cq)."""
     W = (D // H) * hp
     G = H // hp
-    blk = pl.BlockSpec((1, N, W), lambda b, g: (b, 0, g),
+    full = pl.BlockSpec((1, N, W), lambda b, g, i: (b, 0, g),
+                        memory_space=pltpu.VMEM)
+    chunk = pl.BlockSpec((1, cq, W), lambda b, g, i: (b, i, g),
+                         memory_space=pltpu.VMEM)
+    lse = pl.BlockSpec((1, cq, hp), lambda b, g, i: (b * G + g, i, 0),
                        memory_space=pltpu.VMEM)
-    lse = pl.BlockSpec((1, N, hp), lambda b, g: (b * G + g, 0, 0),
-                       memory_space=pltpu.VMEM)
-    return blk, lse
+    return full, chunk, lse
 
 
 def _flash_fwd_call(q, k, v, H: int, scale: float):
     B, N, D = q.shape
     Dh = D // H
     hp = _heads_per_group(Dh)
-    (bq, bk), _ = _tile_sizes(N, Dh)
-    blk, lse_spec = _group_specs(B, N, D, H, hp)
+    (cq, bq, bk), _ = _tile_sizes(N, Dh)
+    full, chunk, lse_spec = _group_specs(B, N, D, H, hp, cq)
     o, lse = _pallas_call(
         functools.partial(_fwd_kernel, hp=hp, bq=bq, bk=bk, scale=scale),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, D), q.dtype),
             jax.ShapeDtypeStruct((B * H // hp, N, hp), jnp.float32),
         ),
-        grid=(B, H // hp),
-        in_specs=[blk, blk, blk],
-        out_specs=(blk, lse_spec),
+        grid=(B, H // hp, N // cq),
+        in_specs=[chunk, full, full],
+        out_specs=(chunk, lse_spec),
     )(q, k, v)
     return o, lse
 
@@ -318,16 +359,16 @@ def _flash_bwd(H: int, scale: float, res, do):
     B, N, D = q.shape
     Dh = D // H
     hp = _heads_per_group(Dh)
-    _, (bq, bk) = _tile_sizes(N, Dh)
-    blk, lse_spec = _group_specs(B, N, D, H, hp)
+    _, (cq, bq, bk) = _tile_sizes(N, Dh)
+    full, chunk, lse_spec = _group_specs(B, N, D, H, hp, cq)
     shp = jax.ShapeDtypeStruct((B, N, D), q.dtype)
     W = Dh * hp
     dq, dk, dv = _pallas_call(
         functools.partial(_bwd_kernel, hp=hp, bq=bq, bk=bk, scale=scale),
         out_shape=(shp, shp, shp),
-        grid=(B, H // hp),
-        in_specs=[blk, blk, blk, blk, blk, lse_spec],
-        out_specs=(blk, blk, blk),
+        grid=(B, H // hp, N // cq),
+        in_specs=[chunk, full, full, chunk, chunk, lse_spec],
+        out_specs=(chunk, full, full),
         scratch_shapes=[
             pltpu.VMEM((N, W), jnp.float32),
             pltpu.VMEM((N, W), jnp.float32),

@@ -29,16 +29,24 @@ def _qkv(B=2, N=1024, H=2, Dh=64, dtype=jnp.float32, seed=0):
 
 def test_tile_sizes_divide_and_fit():
     for N, Dh in [(1024, 64), (2048, 64), (1024, 128), (2048, 128)]:
-        (bqf, bkf), (bqb, bkb) = F._tile_sizes(N, Dh)
-        for t in (bqf, bkf, bqb, bkb):
+        (cqf, bqf, bkf), (cqb, bqb, bkb) = F._tile_sizes(N, Dh)
+        for t in (cqf, bqf, bkf, cqb, bqb, bkb):
             assert t > 0 and N % t == 0
-        # the chooser prefers one k tile (no online correction) and only
-        # shrinks bk when the backward's 4 live score tiles cannot fit
+        # at these sizes everything fits in one coarse q chunk (the
+        # ungridded r4 behaviour) and the chooser prefers one k tile
+        # (no online correction)
+        assert cqf == N and cqb == N
         assert bkf == N
-    # the single-kernel backward keeps 9 double-buffered group blocks +
-    # 2 full-group fp32 scratches resident; N=4096 no longer fits and
-    # gates off (a two-pass backward would be needed past N=2048)
-    assert F._tile_sizes(4096, 64) == ((0, 0), (0, 0))
+    # N=4096: the q-side tensors stream as coarse chunks (cq < N in the
+    # backward — nine N-length blocks would blow VMEM) while K/V stay
+    # grid-constant; all tiles divide
+    (cqf, bqf, bkf), (cqb, bqb, bkb) = F._tile_sizes(4096, 64)
+    for t in (cqf, bqf, bkf, cqb, bqb, bkb):
+        assert t > 0 and 4096 % t == 0
+    assert cqb < 4096
+    # past that the backward's K/V + dk/dv scratch residency alone
+    # outgrows VMEM and the ladder falls back to XLA attention
+    assert F._tile_sizes(8192, 64) == ((0, 0, 0), (0, 0, 0))
 
 
 def test_flash_supported_gate(monkeypatch):
@@ -107,13 +115,53 @@ def test_flash_multiblock_tiles(interpret_kernels, monkeypatch):
     multi-k-tile FORWARD via monkeypatched tile sizes so the running
     max/sum correction is genuinely exercised, with q shifted so per-tile
     maxima differ."""
-    (bqf, bkf), (bqb, bkb) = F._tile_sizes(2048, 64)
+    (cqf, bqf, bkf), (cqb, bqb, bkb) = F._tile_sizes(2048, 64)
     assert bkb < 2048  # backward genuinely streams k tiles at this size
     orig = F._tile_sizes
     monkeypatch.setattr(
-        F, "_tile_sizes", lambda N, Dh: ((256, 256), orig(N, Dh)[1]))
+        F, "_tile_sizes", lambda N, Dh: ((512, 256, 256), orig(N, Dh)[1]))
     q, k, v = _qkv(B=1, N=2048, H=2, seed=3)
     q = q + 2.0  # shift so per-tile maxima differ across k tiles
+    want = A.attention_reference(q, k, v, 2)
+    got = F.flash_attention_streaming(q, k, v, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_flash_chunked_backward(interpret_kernels, monkeypatch):
+    """Force cq < N in the BACKWARD (the N=4096 regime, on a cheaper
+    shape): dk/dv must accumulate across the coarse-chunk grid steps
+    (scratch re-zeroed at chunk 0, flushed on the last chunk) and dq must
+    come out per chunk."""
+    orig = F._tile_sizes
+    monkeypatch.setattr(
+        F, "_tile_sizes",
+        lambda N, Dh: (orig(N, Dh)[0], (256, 128, 512)))
+    q, k, v = _qkv(B=2, N=1024, H=2, seed=5)
+    do = jax.random.normal(jax.random.PRNGKey(11), q.shape)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.vdot(fn(q, k, v), do)
+
+    ref = jax.grad(loss(lambda q, k, v: A.attention_reference(q, k, v, 2)),
+                   argnums=(0, 1, 2))(q, k, v)
+    ker = jax.grad(
+        loss(lambda q, k, v: F.flash_attention_streaming(q, k, v, 2)),
+        argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", ref, ker):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-5,
+            err_msg=f"grad mismatch for d{name}",
+        )
+
+
+def test_flash_n4096_forward(interpret_kernels):
+    """The real N=4096 tile choice end-to-end (image-size 256 at patch 4);
+    gradients of the same machinery are covered by the cheaper forced-
+    chunk test above."""
+    assert F.flash_supported(1, 4096, 128, 2)
+    q, k, v = _qkv(B=1, N=4096, H=2, seed=7)
     want = A.attention_reference(q, k, v, 2)
     got = F.flash_attention_streaming(q, k, v, 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
