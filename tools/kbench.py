@@ -168,6 +168,65 @@ def bench_expert_ffn(B, N, D, reps, experts=8, group=256, cap_f=1.25):
           "ROOFLINE 4a has the trace-bucketed numbers)", flush=True)
 
 
+def _marginal_ms(fn, args, iters_lo=8, iters_hi=24):
+    """True per-iteration cost of ``fn`` by the MARGINAL-rate method.
+
+    Through the axon remote-TPU relay every compiled-program dispatch
+    carries ~25 ms of launch latency that per-call timing cannot separate,
+    and even a chained ``fori_loop`` only amortises it 1/iters. Two chain
+    lengths give the slope, which cancels every fixed cost (dispatch,
+    argument fetch, the scalar-sync readback)."""
+
+    def chained(iters):
+        @jax.jit
+        def run(*a):
+            def body(_, carry):
+                out = fn(carry, *a[1:])
+                leaf = jax.tree.leaves(out)[0]
+                return carry + 1e-6 * leaf[..., :1].astype(carry.dtype)
+            return jax.lax.fori_loop(0, iters, body, a[0])
+        return run
+
+    times = []
+    for iters in (iters_lo, iters_hi):
+        run = chained(iters)
+        float(jnp.sum(run(*args)))  # compile + one execution
+        t0 = time.perf_counter()
+        float(jnp.sum(run(*args)))
+        times.append(time.perf_counter() - t0)
+    return (times[1] - times[0]) / (iters_hi - iters_lo) * 1e3
+
+
+def bench_flash(N, H, Dh, B=8):
+    """Streaming flash tier vs XLA attention at long sequence (N >= 1024)."""
+    from ddm_tpu.ops import attention as A
+    from ddm_tpu.ops import flash as F
+
+    D = H * Dh
+    assert F.flash_supported(B, N, D, H), (B, N, D, H)
+    tiles = F._tile_sizes(N, Dh)
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q, k, v = (jax.random.normal(kk, (B, N, D), jnp.bfloat16) for kk in ks)
+    fwd_gflop = 4 * B * N * N * D / 1e9          # QK^T + PV
+    tot_gflop = 3.5 * fwd_gflop                  # + 5 bwd matmuls
+
+    def grad_of(fn):
+        loss = lambda q, k, v: jnp.sum(fn(q, k, v, H).astype(jnp.float32)
+                                       ** 2)
+        return jax.grad(loss, argnums=(0, 1, 2))
+
+    print(f"flash: B={B} N={N} H={H} Dh={Dh} tiles(fwd,bwd)={tiles}",
+          flush=True)
+    for name, fn in (("flash", F.flash_attention_streaming),
+                     ("xla", lambda q, k, v, H: A.attention_reference(
+                         q, k, v, H))):
+        t_f = _marginal_ms(lambda q, k, v, fn=fn: fn(q, k, v, H), (q, k, v))
+        t_b = _marginal_ms(grad_of(fn), (q, k, v))
+        print(f"  {name:6s} fwd {t_f:8.3f} ms ({fwd_gflop/t_f:6.1f} TF/s)  "
+              f"fwd+bwd {t_b:8.3f} ms ({tot_gflop/t_b:6.1f} TF/s)",
+              flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dit-b", action="store_true")
@@ -177,7 +236,17 @@ def main():
     ap.add_argument("--moe", action="store_true",
                     help="also bench the expert-FFN kernel vs its XLA "
                          "reference at the MoE production shape")
+    ap.add_argument("--flash", type=int, default=0, metavar="N",
+                    help="bench the streaming flash tier (marginal-rate "
+                         "method) at sequence length N (>= 1024) instead "
+                         "of the short-sequence half-block kernels")
     args = ap.parse_args()
+
+    if args.flash:
+        B, N = 2048, 64
+        D, H = (768, 12) if args.dit_b else (384, 6)
+        bench_flash(args.flash, H, D // H)
+        return
 
     B, N = 2048, 64
     D, H = (768, 12) if args.dit_b else (384, 6)
