@@ -44,11 +44,12 @@ from any GPU flash kernel:
   stream one chunk per grid step while K/V windows stay grid-constant
   and dk/dv accumulate into fp32 scratch across the sequential chunk
   steps (re-zeroed at chunk 0, flushed on the last chunk). At N <= 2048
-  the chooser picks cq = N — one chunk, byte-identical behaviour to the
-  ungridded kernel. This extends support to N = 4096 (image-size 256 at
-  patch 4); past that the backward's grid-constant K/V + dk/dv scratch
-  residency itself outgrows VMEM and the ladder falls back to XLA
-  attention.
+  the chooser picks cq = N — one chunk, the same single-pass structure as
+  the ungridded r4 kernel (fine tile sizes may differ: the byte estimator
+  was revised alongside, so re-validate tilings on hardware when they
+  move). This extends support to N = 4096 (image-size 256 at patch 4);
+  past that the backward's grid-constant K/V + dk/dv scratch residency
+  itself outgrows VMEM and the ladder falls back to XLA attention.
 - The forward writes ``lse = m + log(l)`` (shape (B*H/hp, N, hp), fp32):
   the backward rebuilds normalised probabilities per tile as
   exp(s - lse) without a second online pass.
@@ -106,37 +107,46 @@ def _fwd_bytes(N: int, W: int, hp: int, cq: int, bq: int, bk: int) -> int:
 
 
 def _bwd_bytes(N: int, W: int, hp: int, cq: int, bq: int, bk: int) -> int:
-    """Backward estimate: K/V inputs double-buffered, dk/dv outputs
-    single-buffered (written once per (image, group), on the last chunk),
+    """Backward estimate: K/V inputs AND dk/dv outputs double-buffered
+    (their index_maps change across (b, g) grid steps, and Mosaic
+    double-buffers every window whose index_map changes anywhere across
+    the grid — writing only on the last chunk does not exempt them),
     q/do/o inputs + dq output at chunk length, 2 full-group fp32 dk/dv
     scratches, 4 fp32 packed score tiles (s, p, dp, ds) + the packed dq
     carry and q/do packs."""
-    kv = 2 * 2 * N * W * 2 + 2 * N * W * 2
+    kv = 2 * 2 * N * W * 2 + 2 * 2 * N * W * 2
     qblk = 4 * 2 * cq * W * 2 + 2 * cq * hp * 4
     scratch = 2 * N * W * 4
     tiles = 4 * hp * bq * bk * 4 + 3 * hp * bq * W * 4
     return kv + qblk + scratch + tiles
 
 
-_BUDGET = 14 * 1024 * 1024  # leave Mosaic headroom inside 16 MB VMEM
+# Leave Mosaic headroom inside the 16 MB VMEM. 14.5 MB admits the
+# worst-case composition in range — the N=4096 backward at
+# (cq=512, bq=64, bk=256) estimates 14.36 MB with everything counted
+# double-buffered, still >1.5 MB under the hard scoped-vmem limit.
+_BUDGET = int(14.5 * 1024 * 1024)
 
 
 def _pick(N: int, W: int, hp: int, estimate) -> tuple:
     """Largest (cq, bq, bk) under the budget: prefer one q chunk (cq = N,
     no cross-grid-step accumulation traffic), then one k tile (bk = N:
     the online correction degenerates to a single softmax and PV
-    contracts over the whole row), then larger bq."""
-    for cq in (N, 2048, 1024, 512):
-        if cq > N or N % cq:
-            continue
-        for bk in (N, 1024, 512, 256):
-            if bk > N or N % bk:
+    contracts over the whole row), then larger bq. bq = 64 (still a full
+    128-row MXU tile at hp = 2) is a LAST-RESORT second pass so it cannot
+    displace the hardware-validated bq >= 128 picks at smaller N."""
+    for bq_options in ((512, 256, 128), (64,)):
+        for cq in (N, 2048, 1024, 512):
+            if cq > N or N % cq:
                 continue
-            for bq in (512, 256, 128):
-                if bq > cq or cq % bq:
+            for bk in (N, 1024, 512, 256):
+                if bk > N or N % bk:
                     continue
-                if estimate(N, W, hp, cq, bq, bk) < _BUDGET:
-                    return cq, bq, bk
+                for bq in bq_options:
+                    if bq > cq or cq % bq:
+                        continue
+                    if estimate(N, W, hp, cq, bq, bk) < _BUDGET:
+                        return cq, bq, bk
     return 0, 0, 0
 
 
