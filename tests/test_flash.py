@@ -54,6 +54,11 @@ def test_flash_supported_gate(monkeypatch):
     assert F.flash_supported(2, 1024, 384, 6)
     assert not F.flash_supported(2, 512, 384, 6)   # packed kernel's range
     assert not F.flash_supported(2, 1024, 384, 5)  # H*Dh != D
+    # TP composition note: a tensor-parallel shard sees H/tp local heads;
+    # an odd local head count cannot fill 128-lane head pairs at Dh=64
+    # (e.g. DiT-S --tp 2: D=192, H=3), so the ladder falls back to XLA
+    # attention on that shard rather than running a half-empty pack
+    assert not F.flash_supported(2, 1024, 192, 3)
     monkeypatch.delenv("DDM_TPU_PALLAS_INTERPRET")
     if jax.default_backend() != "tpu":
         assert not F.flash_supported(2, 1024, 384, 6)
