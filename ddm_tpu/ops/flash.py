@@ -165,7 +165,14 @@ def _tile_sizes(N: int, Dh: int):
 
 
 def flash_supported(B: int, N: int, D: int, H: int) -> bool:
-    """True when the streaming kernel can run (B, N, H*Dh) attention."""
+    """True when the streaming kernel can run (B, N, H*Dh) attention.
+
+    ``H % hp != 0`` (e.g. an odd local head count on a tensor-parallel
+    shard: DiT-S ``--tp 2`` sees H = 3 at Dh = 64) is handled by padding
+    the last head group with a PHANTOM zero head rather than falling back
+    to XLA — see :func:`flash_attention_streaming`. Tile sizes and VMEM
+    residency depend only on (N, Dh), so the gate is unchanged by the pad.
+    """
     if H <= 0 or D % H:
         return False
     Dh = D // H
@@ -174,7 +181,6 @@ def flash_supported(B: int, N: int, D: int, H: int) -> bool:
         kernels_enabled()
         and N >= 1024
         and hp > 0
-        and H % hp == 0
         and _tile_sizes(N, Dh)[0][0] > 0
     )
 
@@ -396,8 +402,26 @@ def flash_attention_streaming(q, k, v, H: int,
 
     Caller (``fused_attention``) is responsible for checking
     :func:`flash_supported`; this function assumes the shapes fit.
+
+    When H does not fill whole 128-lane head groups (odd local head
+    counts under tensor parallelism), the lane dimension is zero-padded
+    with phantom heads up to the next group boundary. A phantom head is
+    exact, not approximate: its scores are identically zero, so its
+    softmax is uniform over a zero V (output 0, finite lse), and the
+    output slice discards it — the backward through the slice feeds zero
+    cotangents, so no gradient leaks into or out of the pad lanes. Cost
+    is pad/(H+pad) redundant attention-core work on that shard (25% at
+    H=3), far cheaper than the XLA fallback it replaces (ROOFLINE §4c:
+    43.7% vs 20.5% MFU at N=1024).
     """
     B, N, D = q.shape
+    Dh = D // H
     if scale is None:
-        scale = (D // H) ** -0.5
-    return _flash(q, k, v, H, scale)
+        scale = Dh**-0.5
+    pad = (-H) % _heads_per_group(Dh)
+    if pad == 0:
+        return _flash(q, k, v, H, scale)
+    widths = ((0, 0), (0, 0), (0, pad * Dh))
+    out = _flash(jnp.pad(q, widths), jnp.pad(k, widths),
+                 jnp.pad(v, widths), H + pad, scale)
+    return out[..., :D]

@@ -54,11 +54,10 @@ def test_flash_supported_gate(monkeypatch):
     assert F.flash_supported(2, 1024, 384, 6)
     assert not F.flash_supported(2, 512, 384, 6)   # packed kernel's range
     assert not F.flash_supported(2, 1024, 384, 5)  # H*Dh != D
-    # TP composition note: a tensor-parallel shard sees H/tp local heads;
-    # an odd local head count cannot fill 128-lane head pairs at Dh=64
-    # (e.g. DiT-S --tp 2: D=192, H=3), so the ladder falls back to XLA
-    # attention on that shard rather than running a half-empty pack
-    assert not F.flash_supported(2, 1024, 192, 3)
+    # TP composition: a tensor-parallel shard sees H/tp local heads; an
+    # odd local head count (DiT-S --tp 2: D=192, H=3 at Dh=64) runs via
+    # phantom-head padding rather than falling back to XLA
+    assert F.flash_supported(2, 1024, 192, 3)
     monkeypatch.delenv("DDM_TPU_PALLAS_INTERPRET")
     if jax.default_backend() != "tpu":
         assert not F.flash_supported(2, 1024, 384, 6)
@@ -83,6 +82,35 @@ def test_flash_gradients_match(interpret_kernels):
                    argnums=(0, 1, 2))(q, k, v)
     ker = jax.grad(
         loss(lambda q, k, v: F.flash_attention_streaming(q, k, v, 2)),
+        argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", ref, ker):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-5,
+            err_msg=f"grad mismatch for d{name}",
+        )
+
+
+def test_flash_odd_head_count_padded(interpret_kernels):
+    """H=3 at Dh=64 (the DiT-S --tp 2 shard shape) runs via a phantom
+    zero head padding the second 128-lane group: forward AND gradients
+    must match the XLA oracle exactly as in the even-H case, with no
+    gradient leakage through the pad lanes."""
+    q, k, v = _qkv(B=1, N=1024, H=3, seed=13)
+    want = A.attention_reference(q, k, v, 3)
+    got = F.flash_attention_streaming(q, k, v, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+    do = jax.random.normal(jax.random.PRNGKey(17), q.shape)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.vdot(fn(q, k, v), do)
+
+    ref = jax.grad(loss(lambda q, k, v: A.attention_reference(q, k, v, 3)),
+                   argnums=(0, 1, 2))(q, k, v)
+    ker = jax.grad(
+        loss(lambda q, k, v: F.flash_attention_streaming(q, k, v, 3)),
         argnums=(0, 1, 2))(q, k, v)
     for name, a, b in zip("qkv", ref, ker):
         scale = max(float(jnp.max(jnp.abs(a))), 1e-3)
