@@ -33,6 +33,7 @@ __all__ = [
     "reduce_scatter_seconds",
     "dp_efficiency",
     "collective_footprint",
+    "collective_lines",
 ]
 
 # v5e: 1,600 Gbps/chip aggregate ICI = 200 GB/s across the 2-D torus's
@@ -109,6 +110,31 @@ def _shape_bytes(shape_str: str) -> int:
                 n *= int(d)
         total += n * _DTYPE_BYTES[dtype]
     return total
+
+
+_GROUPS_RE = re.compile(r"replica_groups=\{(\{[\d,{}]*\})\}")
+
+
+def collective_lines(hlo_text: str):
+    """Per-op collective listing: (kind, result_bytes, group_size) tuples.
+
+    ``group_size`` is the number of devices in each replica group (0 when
+    the op carries no ``replica_groups`` attribute) — on a 2-D
+    (data, model) mesh it distinguishes model-axis activation psums
+    (group size = tp) from the data-axis gradient allreduce (group size =
+    n/tp), which ``collective_footprint``'s kind-level totals cannot."""
+    out = []
+    for line in hlo_text.splitlines():
+        m = _OP_RE.search(line)
+        if not m:
+            continue
+        gsize = 0
+        g = _GROUPS_RE.search(line)
+        if g:
+            first = g.group(1).split("}")[0].lstrip("{")
+            gsize = len([t for t in first.split(",") if t.strip() != ""])
+        out.append((m.group(2), _shape_bytes(m.group(1)), gsize))
+    return out
 
 
 def collective_footprint(hlo_text: str) -> Dict[str, Tuple[int, int]]:

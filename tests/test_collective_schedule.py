@@ -20,13 +20,17 @@ import numpy as np
 import optax
 import pytest
 
+from ddm_tpu.models.dit import DDDMDiT, patchify_images
 from ddm_tpu.models.mlp import DDDMMLP
 from ddm_tpu.parallel import (
-    REPLICATED_RULES, fsdp_tree_shardings, make_mesh,
-    make_sharded_train_step, place_train_state, shard_batch,
+    DIT_TP_RULES, PIPE_AXIS, REPLICATED_RULES, clip_by_global_norm_sharded,
+    fsdp_tree_shardings, make_mesh, make_pipe_mesh, make_pipelined_apply,
+    make_sharded_train_step, pipeline_tree_shardings, place_train_state,
+    shard_batch, to_pipeline_params,
 )
 from ddm_tpu.parallel.ici import (
-    all_reduce_seconds, collective_footprint, dp_efficiency,
+    all_reduce_seconds, collective_footprint, collective_lines,
+    dp_efficiency,
 )
 from ddm_tpu.training import TrainState
 
@@ -130,6 +134,120 @@ def test_tp_emits_activation_allreduces():
     # at least per-block activation reductions beyond the fused grad
     # allreduce (GSPMD may lower psums as reduce-scatter+all-gather)
     assert count >= 3, f"TP step emitted only {count} collectives: {fp}"
+
+
+def _tiny_dit(depth=2, **kw):
+    model = DDDMDiT(img_size=8, patch_size=2, embed_dim=32, depth=depth,
+                    num_heads=2, time_embed_dim=16, data_format="NHWC", **kw)
+    xt = jnp.zeros((2, 8, 8, 3))
+    params = model.init(jax.random.PRNGKey(0), xt, jnp.zeros((2,)), xt)
+    return model, params
+
+
+def test_pp_schedule_permutes_microbatch_activations():
+    """GPipe transport: the staged scan rotates activations with exactly
+    ONE ppermute in the forward scan body and one (its transpose) in the
+    backward, each moving one microbatch's token activations — the
+    per-tick wire unit ROOFLINE §6 charges as
+    ticks * (B_local*m/microbatches) * N * D bytes per step."""
+    depth, pp, mb, B, m = 4, 4, 2, 8, 2
+    model, params = _tiny_dit(depth=depth)
+    mesh = make_pipe_mesh(pp=pp)
+    pipe_params = to_pipeline_params(params, n_stages=pp)
+    tx = optax.chain(
+        clip_by_global_norm_sharded(
+            1.0, pipeline_tree_shardings(pipe_params, mesh), PIPE_AXIS),
+        optax.adamw(1e-3))
+    state = TrainState.create(apply_fn=None, params=pipe_params, tx=tx)
+    state, sh = place_train_state(
+        state, mesh, shardings=pipeline_tree_shardings(state, mesh))
+    step = make_sharded_train_step(
+        make_pipelined_apply(model, n_stages=pp, n_microbatches=mb),
+        mesh, sh, dp_shard_map=True,
+        target_transform=lambda x: patchify_images(x, 2),
+        m=m, beta=0.1, lam=1.0, w_bias=0.0)
+    batch = shard_batch(np.zeros((B, 8, 8, 3), np.float32), mesh)
+    fp = collective_footprint(_compiled_hlo(step, state, batch))
+
+    assert "collective-permute" in fp, f"no ppermute in PP step: {fp}"
+    count, byt = fp["collective-permute"]
+    # one rotation op inside the fwd scan + its transpose in the bwd scan;
+    # more would mean the rotation stopped being a single fused transfer
+    assert count == 2, f"{count} ppermute ops — GPipe rotation degraded"
+    B_local = B // mesh.shape["data"]
+    tick = (B_local * m // mb) * 16 * 32 * 4  # microbatch fp32 (N=16, D=32)
+    assert byt == 2 * tick, (byt, tick)
+    # loss/head/embed psums over pipe + the data-axis grad reduce remain
+    assert "all-reduce" in fp
+    assert "all-to-all" not in fp
+
+
+def test_ep_schedule_is_block_psums_not_all_to_all():
+    """Expert parallelism as shipped (MoEMLP with tp>1): the transport is
+    the Megatron f/g psum pair per block half — NOT a token all-to-all.
+    Per block the fwd g-psum and bwd f-psum each move the block's token
+    activations over the model axis; attention contributes its own pair.
+    ROOFLINE §6's EP paragraph charges exactly this volume."""
+    depth, tp, B, m = 2, 2, 8, 2
+    kw = dict(tp=tp, moe_experts=4, moe_capacity=2.0, dtype=jnp.float32)
+    _, params = _tiny_dit(depth=depth, tp_axis=None, **kw)
+    local = DDDMDiT(img_size=8, patch_size=2, embed_dim=32, depth=depth,
+                    num_heads=2, time_embed_dim=16, data_format="NHWC",
+                    tp_axis="model", **kw)
+    mesh = make_mesh(tp=tp)
+    state = TrainState.create(apply_fn=local.apply, params=params,
+                              tx=optax.adam(1e-3))
+    state, sh = place_train_state(state, mesh, DIT_TP_RULES)
+    step = make_sharded_train_step(local.apply, mesh, sh,
+                                   dp_shard_map=True, m=m, beta=0.1,
+                                   lam=1.0, w_bias=0.0)
+    batch = shard_batch(np.zeros((B, 8, 8, 3), np.float32), mesh)
+    hlo = _compiled_hlo(step, state, batch)
+    fp = collective_footprint(hlo)
+    for kind in ("all-to-all", "all-gather", "reduce-scatter",
+                 "collective-permute"):
+        assert kind not in fp, f"unexpected {kind} in EP step: {fp}"
+
+    lines = collective_lines(hlo)
+    dp_n = mesh.devices.size // tp
+    model_axis = [b for k, b, g in lines if k == "all-reduce" and g == tp]
+    data_axis = [b for k, b, g in lines if k == "all-reduce" and g == dp_n]
+    # 4 activation psums per block: attention {g fwd, f bwd} + MoE
+    # {g fwd, f bwd}; each moves >= the block's token activations
+    # (B_local*m, N, D) fp32, with <1 KB of fused router/aux scalars
+    assert len(model_axis) == 4 * depth, (len(model_axis), lines)
+    act = (B // dp_n) * m * 16 * 32 * 4
+    for b in model_axis:
+        assert act <= b <= act + 1024, (b, act)
+    # gradients still reduce over data as ONE fused op
+    assert len(data_axis) == 1, (data_axis, lines)
+    pbytes = _param_bytes(state.params)
+    assert data_axis[0] <= pbytes + 1024
+
+
+def test_moe_dp_schedule_single_fused_allreduce():
+    """The shipped MoE config's DP schedule (replicated experts, fused
+    Pallas dispatch path): still ONE fused fp32 gradient allreduce of the
+    parameter bytes — the routing/dispatch machinery must not leak extra
+    collectives or per-param chatter into the step."""
+    model, params = _tiny_dit(depth=2, moe_experts=4, moe_capacity=2.0,
+                              dtype=jnp.float32)
+    mesh = make_mesh()
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              tx=optax.adam(1e-3))
+    state, sh = place_train_state(state, mesh, REPLICATED_RULES)
+    step = make_sharded_train_step(model.apply, mesh, sh,
+                                   dp_shard_map=True, m=2, beta=0.1,
+                                   lam=1.0, w_bias=0.0)
+    batch = shard_batch(np.zeros((8, 8, 8, 3), np.float32), mesh)
+    fp = collective_footprint(_compiled_hlo(step, state, batch))
+    assert set(fp) == {"all-reduce"}, fp
+    count, byt = fp["all-reduce"]
+    assert count <= 8, f"{count} allreduce ops — schedule degraded"
+    pbytes = _param_bytes(state.params)
+    # XLA DCEs a handful of provably-unused grad leaves in the fused
+    # dispatch path, so allow a small deficit as well as the scalar means
+    assert pbytes - 4096 <= byt <= pbytes + 1024, (byt, pbytes)
 
 
 def test_analytic_model_sanity():
