@@ -171,16 +171,25 @@ def flash_supported(B: int, N: int, D: int, H: int) -> bool:
     shard: DiT-S ``--tp 2`` sees H = 3 at Dh = 64) is handled by padding
     the last head group with a PHANTOM zero head rather than falling back
     to XLA — see :func:`flash_attention_streaming`. Tile sizes and VMEM
-    residency depend only on (N, Dh), so the gate is unchanged by the pad.
+    residency depend only on (N, Dh), so the gate is unchanged by the pad
+    EXCEPT for the redundancy bound: phantom heads are pure waste, so the
+    pad path is admitted only while ``pad <= H`` (at most half the
+    attention-core work redundant — the measured pad-vs-XLA margin at
+    N=1024 is ~2x, so 50% waste is the break-even). Small head dims make
+    this real: at Dh = 8 (hp = 16) a single-head shard would pad 15/16 of
+    the core — worse than the XLA fallback — and gates off here.
     """
     if H <= 0 or D % H:
         return False
     Dh = D // H
     hp = _heads_per_group(Dh)
+    if hp == 0:
+        return False
+    pad = (-H) % hp
     return (
         kernels_enabled()
         and N >= 1024
-        and hp > 0
+        and pad <= H
         and _tile_sizes(N, Dh)[0][0] > 0
     )
 

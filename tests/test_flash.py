@@ -58,6 +58,13 @@ def test_flash_supported_gate(monkeypatch):
     # odd local head count (DiT-S --tp 2: D=192, H=3 at Dh=64) runs via
     # phantom-head padding rather than falling back to XLA
     assert F.flash_supported(2, 1024, 192, 3)
+    # redundancy bound on the pad: phantom heads are pure waste, so the
+    # pad path only engages while pad <= H (<= 50% redundant core work).
+    # Dh=8 -> hp=16: H=1 would pad 15 phantom heads (94% waste, slower
+    # than the XLA fallback) and must gate off; H=8 pads 8 (exactly 50%)
+    # and stays on.
+    assert not F.flash_supported(2, 1024, 8, 1)
+    assert F.flash_supported(2, 1024, 64, 8)
     monkeypatch.delenv("DDM_TPU_PALLAS_INTERPRET")
     if jax.default_backend() != "tpu":
         assert not F.flash_supported(2, 1024, 384, 6)

@@ -243,12 +243,18 @@ def main():
                     help="bench the streaming flash tier (marginal-rate "
                          "method) at sequence length N (>= 1024) instead "
                          "of the short-sequence half-block kernels")
+    ap.add_argument("--flash-heads", type=int, default=0,
+                    help="override the head count for --flash at Dh=64 "
+                         "(e.g. 3 = the DiT-S --tp 2 shard: odd local "
+                         "heads exercise the phantom-head pad path)")
     args = ap.parse_args()
 
     if args.flash:
         # marginal-rate method: --reps does not apply (chain lengths are
         # fixed); batch is bench_flash's default, printed in its header
         D, H = (768, 12) if args.dit_b else (384, 6)
+        if args.flash_heads:
+            H, D = args.flash_heads, args.flash_heads * 64
         bench_flash(args.flash, H, D // H)
         return
 
