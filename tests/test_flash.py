@@ -44,9 +44,20 @@ def test_tile_sizes_divide_and_fit():
     for t in (cqf, bqf, bkf, cqb, bqb, bkb):
         assert t > 0 and 4096 % t == 0
     assert cqb < 4096
-    # past that the backward's K/V + dk/dv scratch residency alone
-    # outgrows VMEM and the ladder falls back to XLA attention
-    assert F._tile_sizes(8192, 64) == ((0, 0, 0), (0, 0, 0))
+    # past that the single-pass walls fall one by one and the windowed
+    # tiers take over per direction: at N=8192 the forward still fits
+    # single-pass but the backward's grid-constant K/V + dk/dv scratch
+    # does not; at N=16384 (image-size 512) the forward's K/V residency
+    # goes too. The windowed picks must divide N.
+    f8, b8 = F._tile_sizes(8192, 64)
+    assert f8[0] > 0 and b8 == (0, 0, 0)
+    cq, ck, bq, bk = F._windowed_bwd_tiles(8192, 64)
+    assert cq > 0 and 8192 % cq == 0 and 8192 % ck == 0
+    assert ck % bk == 0 and cq % bq == 0
+    f16, b16 = F._tile_sizes(16384, 64)
+    assert f16 == (0, 0, 0) and b16 == (0, 0, 0)
+    assert F._windowed_fwd_tiles(16384, 64)[0] > 0
+    assert F._windowed_bwd_tiles(16384, 64)[0] > 0
 
 
 def test_flash_supported_gate(monkeypatch):
@@ -65,6 +76,9 @@ def test_flash_supported_gate(monkeypatch):
     # and stays on.
     assert not F.flash_supported(2, 1024, 8, 1)
     assert F.flash_supported(2, 1024, 64, 8)
+    # the K/V-windowed tiers keep the gate open at image-size 512 scale
+    assert F.flash_supported(2, 8192, 384, 6)
+    assert F.flash_supported(1, 16384, 384, 6)
     monkeypatch.delenv("DDM_TPU_PALLAS_INTERPRET")
     if jax.default_backend() != "tpu":
         assert not F.flash_supported(2, 1024, 384, 6)
@@ -179,6 +193,56 @@ def test_flash_chunked_backward(interpret_kernels, monkeypatch):
         lambda N, Dh: (orig(N, Dh)[0], (256, 128, 512)))
     q, k, v = _qkv(B=2, N=1024, H=2, seed=5)
     do = jax.random.normal(jax.random.PRNGKey(11), q.shape)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.vdot(fn(q, k, v), do)
+
+    ref = jax.grad(loss(lambda q, k, v: A.attention_reference(q, k, v, 2)),
+                   argnums=(0, 1, 2))(q, k, v)
+    ker = jax.grad(
+        loss(lambda q, k, v: F.flash_attention_streaming(q, k, v, 2)),
+        argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", ref, ker):
+        scale = max(float(jnp.max(jnp.abs(a))), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-5,
+            err_msg=f"grad mismatch for d{name}",
+        )
+
+
+def test_flash_windowed_forward_matches_reference(interpret_kernels,
+                                                  monkeypatch):
+    """Force the K/V-windowed forward (the N>8192 regime) on a cheap
+    shape: single-pass picks disabled, windows smaller than N so the
+    online-softmax state genuinely crosses window grid steps through the
+    VMEM scratch (multiple q chunks AND multiple k windows)."""
+    monkeypatch.setattr(F, "_tile_sizes",
+                        lambda N, Dh: ((0, 0, 0), (0, 0, 0)))
+    monkeypatch.setattr(F, "_windowed_fwd_tiles",
+                        lambda N, Dh: (512, 512, 128, 256))
+    monkeypatch.setattr(F, "_windowed_bwd_tiles",
+                        lambda N, Dh: (512, 512, 128, 256))
+    q, k, v = _qkv(B=1, N=2048, H=2, seed=19)
+    q = q + 2.0  # shift so per-window maxima differ (corrections engage)
+    want = A.attention_reference(q, k, v, 2)
+    got = F.flash_attention_streaming(q, k, v, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_flash_windowed_backward_matches_reference(interpret_kernels,
+                                                   monkeypatch):
+    """Force the two-kernel windowed backward: dq accumulated across
+    k-window grid steps, dk/dv across q-chunk grid steps of the
+    transposed grid, both against the XLA oracle."""
+    monkeypatch.setattr(F, "_tile_sizes",
+                        lambda N, Dh: ((0, 0, 0), (0, 0, 0)))
+    monkeypatch.setattr(F, "_windowed_fwd_tiles",
+                        lambda N, Dh: (512, 512, 128, 256))
+    monkeypatch.setattr(F, "_windowed_bwd_tiles",
+                        lambda N, Dh: (512, 512, 128, 256))
+    q, k, v = _qkv(B=1, N=2048, H=2, seed=23)
+    do = jax.random.normal(jax.random.PRNGKey(29), q.shape)
 
     def loss(fn):
         return lambda q, k, v: jnp.vdot(fn(q, k, v), do)

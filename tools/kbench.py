@@ -218,11 +218,16 @@ def bench_flash(N, H, Dh, B=8):
                                        ** 2)
         return jax.grad(loss, argnums=(0, 1, 2))
 
+    if N > 4096:
+        tiles = (tiles, F._windowed_fwd_tiles(N, Dh),
+                 F._windowed_bwd_tiles(N, Dh))
     print(f"flash: B={B} N={N} H={H} Dh={Dh} tiles(fwd,bwd)={tiles}",
           flush=True)
-    for name, fn in (("flash", F.flash_attention_streaming),
-                     ("xla", lambda q, k, v, H: A.attention_reference(
-                         q, k, v, H))):
+    variants = [("flash", F.flash_attention_streaming)]
+    if N <= 4096:  # the XLA oracle materialises B*H*N^2 fp32 scores
+        variants.append(("xla", lambda q, k, v, H: A.attention_reference(
+            q, k, v, H)))
+    for name, fn in variants:
         t_f = _marginal_ms(lambda q, k, v, fn=fn: fn(q, k, v, H), (q, k, v))
         t_b = _marginal_ms(grad_of(fn), (q, k, v))
         print(f"  {name:6s} fwd {t_f:8.3f} ms ({fwd_gflop/t_f:6.1f} TF/s)  "
