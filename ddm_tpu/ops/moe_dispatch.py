@@ -476,9 +476,15 @@ def moe_dispatch_ok(T: int, gs: int, E: int, cap: int, D: int,
     even group partition, sublane-aligned group size, lane-aligned D, and
     bounded VMEM for the in-kernel triangular matrix + one-hot block
     (fp32 ``gs*gs + 3*gs*E*Cp`` live bytes — the 2048 cap keeps it
-    comfortably under budget at every production group size)."""
+    comfortably under budget at every production group size).
+    ``DDM_TPU_MOE_DISPATCH=off`` is the measurement escape hatch: it
+    forces the einsum dispatch so the kernel's contribution can be A/B'd
+    on hardware (ROOFLINE §4a)."""
+    import os
+
     return (
         kernels_enabled()
+        and os.environ.get("DDM_TPU_MOE_DISPATCH", "") != "off"
         and topk in (1, 2)
         and 0 < gs <= 2048
         and T % gs == 0

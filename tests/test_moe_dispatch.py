@@ -118,3 +118,21 @@ def test_ragged_rows_fall_back(interpret_kernels):
                        mutable=["losses"])
     assert out.shape == (200, 128)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dispatch_env_hatch_forces_einsum(interpret_kernels, monkeypatch):
+    """DDM_TPU_MOE_DISPATCH=off is the measurement escape hatch (ROOFLINE
+    §4a A/Bs the fused kernels against the einsum path on hardware): it
+    must close the fused gate while leaving values identical."""
+    from ddm_tpu.ops.moe_dispatch import moe_dispatch_ok
+
+    assert moe_dispatch_ok(512, 128, 4, 16, 128, 1)
+    monkeypatch.setenv("DDM_TPU_MOE_DISPATCH", "off")
+    assert not moe_dispatch_ok(512, 128, 4, 16, 128, 1)
+
+    mod, params, rows, s, b = _setup(topk=1)
+    off = mod.apply(params, rows, ln_scale=s, ln_bias=b)
+    monkeypatch.delenv("DDM_TPU_MOE_DISPATCH")
+    on = mod.apply(params, rows, ln_scale=s, ln_bias=b)
+    np.testing.assert_allclose(np.asarray(off), np.asarray(on),
+                               rtol=2e-5, atol=2e-6)
