@@ -306,18 +306,22 @@ class DiTBlock(nn.Module):
             tp_axis=self.tp_axis, dtype=self.dtype, name="moe",
         )
         if self.tp_axis is None and self.tp == 1:
-            # replicated path: hand LN2's params to MoEMLP so the fused
-            # Pallas prologue (LN + router + dispatch, one kernel) can
-            # engage; same {scale, bias} tree as nn.LayerNorm
+            # replicated path: hand LN2's params AND the residual stream
+            # to MoEMLP so the fused Pallas prologue (LN + router +
+            # dispatch) and the combine epilogue's in-kernel residual add
+            # can engage; same {scale, bias} tree as nn.LayerNorm. The
+            # residual keeps x's own dtype — the module reproduces the
+            # fp32 add this block used to perform.
             s2, b2 = _LNParams(self.dim, name="norm2")()
             out = moe(x.astype(self.dtype).reshape(B * N, D),
-                      ln_scale=s2, ln_bias=b2)
-        else:
-            # EP path: LN outside (replicated compute), einsum dispatch
-            # with the f/g collective discipline
-            h = nn.LayerNorm(dtype=jnp.float32,
-                             name="norm2")(x).astype(self.dtype)
-            out = moe(h.reshape(B * N, D))
+                      ln_scale=s2, ln_bias=b2,
+                      residual=x.reshape(B * N, D))
+            return out.reshape(B, N, D).astype(self.dtype)
+        # EP path: LN outside (replicated compute), einsum dispatch
+        # with the f/g collective discipline, residual added here
+        h = nn.LayerNorm(dtype=jnp.float32,
+                         name="norm2")(x).astype(self.dtype)
+        out = moe(h.reshape(B * N, D))
         out = x.astype(jnp.float32) + out.astype(jnp.float32).reshape(B, N, D)
         return out.astype(self.dtype)
 

@@ -108,17 +108,19 @@ class MoEMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _fused(self, rows, ln_scale, ln_bias, wr, br, w1, b1, w2, b2,
-               gs: int, cap: int) -> jnp.ndarray:
+               gs: int, cap: int, residual=None) -> jnp.ndarray:
         """Fused-kernel body (``ddm_tpu.ops.moe_dispatch``): one Pallas
         prologue (LN2 + router + top-k capacity dispatch), the tiered
         expert-FFN kernel, one combine epilogue. The one-hot dispatch
         tensors never reach HBM; routing state rides as compact
-        ``(pos, gates, probs)`` arrays. Replicated (non-EP) path only."""
+        ``(pos, gates)`` arrays, the Switch aux statistics as in-kernel
+        ``(1, E)`` sums, and (with ``residual``) the block's residual add
+        runs inside the combine epilogue. Replicated (non-EP) path only."""
         import jax as _jax
 
         from ddm_tpu.ops.expert_ffn import expert_ffn_auto
         from ddm_tpu.ops.moe_dispatch import (
-            MoEDispatchCfg, moe_combine, moe_dispatch,
+            MoEDispatchCfg, moe_combine, moe_combine_res, moe_dispatch,
         )
 
         T, D = rows.shape
@@ -127,23 +129,27 @@ class MoEMLP(nn.Module):
             gs=gs, cap=cap, cpad=-(-cap // 8) * 8, num_experts=E,
             topk=self.topk, cdt=jnp.dtype(self.dtype).name,
         )
-        xin, gates, pos1, pos2, probs = moe_dispatch(
+        xin, gates, pos1, pos2, _probs, cnt, psum = moe_dispatch(
             cfg, rows, ln_scale, ln_bias, wr, br)
         pos1 = _jax.lax.stop_gradient(pos1)
         pos2 = _jax.lax.stop_gradient(pos2)
         # Switch aux (same formula as the einsum path; frac from the
-        # pre-capacity first-choice onehot, differentiable through probs)
-        oh1 = (pos1 >= 0).astype(jnp.float32)
-        frac = jnp.sum(oh1, axis=(0, 1)) / float(T)
-        mean_p = jnp.mean(probs, axis=(0, 1))
+        # pre-capacity first-choice counts, differentiable through the
+        # in-kernel prob sums — (1, E) vectors, so the XLA side never
+        # builds a lane-padded (G, gs, E) tensor)
+        frac = _jax.lax.stop_gradient(cnt).reshape(E) / float(T)
+        mean_p = psum.reshape(E) / float(T)
         self.sow("losses", "moe_aux", E * jnp.sum(frac * mean_p))
         out = expert_ffn_auto(xin, w1, b1, w2, b2, dtype=self.dtype)
+        if residual is not None:
+            return moe_combine_res(cfg, out, gates, pos1, pos2, residual)
         return moe_combine(cfg, out, gates, pos1, pos2)
 
     @nn.compact
     def __call__(self, rows: jnp.ndarray,
                  ln_scale: Optional[jnp.ndarray] = None,
-                 ln_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 ln_bias: Optional[jnp.ndarray] = None,
+                 residual: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """``rows`` are token rows ``(T, D)``.
 
         With ``ln_scale``/``ln_bias`` given, ``rows`` are PRE-LayerNorm and
@@ -151,6 +157,12 @@ class MoEMLP(nn.Module):
         prologue (``ddm_tpu.ops.moe_dispatch``) run LN + router + dispatch
         in one kernel on the replicated path. Without them, ``rows`` are
         already normalised (the sharded/EP path keeps LN outside).
+
+        ``residual`` (replicated path only): the block's residual stream
+        ``(T, D)``, any float dtype. When given, the module returns
+        ``(residual_f32 + out_f32).astype(dtype)`` — added inside the
+        combine kernel on the fused path, in XLA fp32 on the einsum
+        fallback; both match the expression the DiT block used to apply.
         """
         shard = self.tp_axis is not None
         e_local = self.num_experts // self.tp if shard else self.num_experts
@@ -195,7 +207,8 @@ class MoEMLP(nn.Module):
                     and T_pad == T
                     and moe_dispatch_ok(T, gs, E, cap, D, self.topk)):
                 return self._fused(rows, ln_scale, ln_bias, wr, br,
-                                   w1, b1, w2, b2, gs, cap)
+                                   w1, b1, w2, b2, gs, cap,
+                                   residual=residual)
             from ddm_tpu.ops.mlp_block import _ln
 
             # jnp LN2 fallback (off-TPU / ragged / init trace). `rows` may
@@ -349,4 +362,8 @@ class MoEMLP(nn.Module):
             from ddm_tpu.parallel.tp import tp_region_exit
 
             part = tp_region_exit(part, self.tp_axis)
-        return part.reshape(T_pad, D)[:T].astype(self.dtype)
+        out = part.reshape(T_pad, D)[:T].astype(self.dtype)
+        if residual is not None:
+            out = (residual.astype(jnp.float32)
+                   + out.astype(jnp.float32)).astype(self.dtype)
+        return out

@@ -65,7 +65,7 @@ from .mlp_block import _ln, _pallas_call
 from .pallas_config import kernels_enabled
 
 __all__ = ["MoEDispatchCfg", "moe_dispatch", "moe_combine",
-           "moe_dispatch_ok"]
+           "moe_combine_res", "moe_dispatch_ok"]
 
 
 class MoEDispatchCfg(NamedTuple):
@@ -149,7 +149,12 @@ def _softmax(logits):
 
 def _dispatch_fwd_kernel(x_ref, s_ref, b_ref, wr_ref, br_ref,
                          xin_ref, gates_ref, p1_ref, p2_ref, probs_ref,
-                         *, cfg: MoEDispatchCfg, gb: int):
+                         cnt_ref, psum_ref, *, cfg: MoEDispatchCfg, gb: int):
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+        psum_ref[:] = jnp.zeros_like(psum_ref)
+
     cdt = _cdt(cfg)
     E, cpad, gs = cfg.num_experts, cfg.cpad, cfg.gs
     D = x_ref.shape[-1]
@@ -163,11 +168,21 @@ def _dispatch_fwd_kernel(x_ref, s_ref, b_ref, wr_ref, br_ref,
                      preferred_element_type=jnp.float32) + br_ref[:]
     probs = _softmax(logits)
     probs_ref[:] = probs.reshape(gb, gs, E)
+    # Switch aux-loss statistics, accumulated in-kernel so the XLA side
+    # never touches a (G, gs, E) tensor (E-minor layouts are lane-padded
+    # 16x on TPU; the r5 trace charged ~3 ms/step to that path): psum is
+    # the per-expert sum of router probs, cnt the pre-capacity
+    # first-choice count (pos >= 0 includes capacity-dropped tokens,
+    # matching the einsum path's pre-capacity one-hot).
+    psum_ref[:] += jnp.sum(probs, axis=0, keepdims=True)
+    cnt_local = jnp.zeros((1, E), jnp.float32)
     for j in range(gb):  # queueing is per routing group by definition
         pos1, pos2, gates = _route(probs[j * gs:(j + 1) * gs], cfg, cdt)
         p1_ref[j] = pos1
         p2_ref[j] = pos2
         gates_ref[j] = gates
+        cnt_local += jnp.sum((pos1 >= 0).astype(jnp.float32), axis=0,
+                             keepdims=True)
         dd = _build_dd(pos1, cfg.cap, cpad, cdt)
         if cfg.topk == 2:
             dd = dd + _build_dd(pos2, cfg.cap, cpad, cdt)  # slots disjoint
@@ -177,11 +192,12 @@ def _dispatch_fwd_kernel(x_ref, s_ref, b_ref, wr_ref, br_ref,
         )
         xin_ref[:, j * cpad:(j + 1) * cpad, :] = (
             xin.reshape(E, cpad, D).astype(xin_ref.dtype))
+    cnt_ref[:] += cnt_local
 
 
 def _dispatch_bwd_kernel(x_ref, s_ref, b_ref, wr_ref,
                          p1_ref, p2_ref, probs_ref,
-                         dxin_ref, dgates_ref, dprobs_ref,
+                         dxin_ref, dgates_ref, dprobs_ref, dpsum_ref,
                          dx_ref, ds_ref, db_ref, dwr_ref, dbr_ref,
                          *, cfg: MoEDispatchCfg, gb: int):
     @pl.when(pl.program_id(0) == 0)
@@ -213,11 +229,14 @@ def _dispatch_bwd_kernel(x_ref, s_ref, b_ref, wr_ref,
     dyb = (dyb_parts[0] if gb == 1
            else jnp.concatenate(dyb_parts, axis=0))
 
-    # gate cotangents -> router probs
+    # gate cotangents -> router probs; dpsum is the cotangent of the
+    # in-kernel per-expert prob sums (the aux-loss path) — uniform over
+    # rows, so it broadcasts straight into dprobs
+    dprobs_base = dprobs_ref[:].reshape(gb * gs, E) + dpsum_ref[:]
     dg = dgates_ref[:].reshape(gb * gs, 2)
     oh1 = (pos1 >= 0).astype(jnp.float32)
     if cfg.topk == 1:
-        dprobs = dprobs_ref[:].reshape(gb * gs, E) + dg[:, 0][:, None] * oh1
+        dprobs = dprobs_base + dg[:, 0][:, None] * oh1
     else:
         oh2 = (pos2 >= 0).astype(jnp.float32)
         p1v = jnp.sum(probs * oh1, axis=-1, keepdims=True)
@@ -228,8 +247,7 @@ def _dispatch_bwd_kernel(x_ref, s_ref, b_ref, wr_ref,
         inv_s2 = 1.0 / (s * s)
         dp1 = (dg1 * (p2v + 1e-9) - dg2 * p2v) * inv_s2
         dp2 = (dg2 * (p1v + 1e-9) - dg1 * p1v) * inv_s2
-        dprobs = (dprobs_ref[:].reshape(gb * gs, E)
-                  + dp1 * oh1 + dp2 * oh2)
+        dprobs = dprobs_base + dp1 * oh1 + dp2 * oh2
 
     # softmax + router matmul backward
     dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
@@ -271,7 +289,8 @@ def _groups_per_block(cfg: MoEDispatchCfg, G: int, D: int) -> int:
             + 4 * E * gb * cpad * D * cb    # xin window, double-buffered
             + 4 * gs * (gs + E * cpad)      # tri + one-hot blocks
             + 12 * D * 128                  # wr window + LN vec residents
-        )
+            + 10 * gb * gs * D              # residual window + f32 temp
+        )                                   # (combine_res fwd)
         if est < 20 * 1024 * 1024:
             return gb
     return 1
@@ -302,10 +321,16 @@ def moe_dispatch(cfg: MoEDispatchCfg, x, scale, bias, wr, br):
     """Fused LN2 + router + top-k capacity dispatch.
 
     ``x (T, D)`` pre-LN rows -> ``(xin (E, G*Cp, D) cdt, gates (G, gs, 2)
-    fp32, pos1/pos2 (G, gs, E) fp32, probs (G, gs, E) fp32)``. ``pos*`` are
-    piecewise-constant routing state (no gradient, matching the einsum
-    path where one-hot construction goes through int argmax/astype);
-    ``gates`` and ``probs`` carry the router's differentiable paths.
+    fp32, pos1/pos2 (G, gs, E) fp32, probs (G, gs, E) fp32, cnt (1, E)
+    fp32, psum (1, E) fp32)``. ``pos*`` are piecewise-constant routing
+    state (no gradient, matching the einsum path where one-hot
+    construction goes through int argmax/astype); ``gates`` and ``probs``
+    carry the router's differentiable paths. ``cnt``/``psum`` are the
+    Switch aux-loss statistics accumulated in-kernel (pre-capacity
+    first-choice counts and per-expert prob sums): ``cnt`` is
+    piecewise-constant, ``psum``'s cotangent broadcasts into dprobs
+    inside the backward kernel so the aux loss costs no (G, gs, E)
+    XLA math in either direction.
     """
     return _dispatch_fwd_call(cfg, x, scale, bias, wr, br)
 
@@ -322,10 +347,13 @@ def _dispatch_fwd_call(cfg, x, scale, bias, wr, br):
             jax.ShapeDtypeStruct((G, gs, E), jnp.float32),
             jax.ShapeDtypeStruct((G, gs, E), jnp.float32),
             jax.ShapeDtypeStruct((G, gs, E), jnp.float32),
+            jax.ShapeDtypeStruct((1, E), jnp.float32),
+            jax.ShapeDtypeStruct((1, E), jnp.float32),
         ),
         grid=(G // sp["gb"],),
         in_specs=[sp["x"], sp["vecD"], sp["vecD"], sp["wr"], sp["vecE"]],
-        out_specs=(sp["xin"], sp["g2"], sp["gE"], sp["gE"], sp["gE"]),
+        out_specs=(sp["xin"], sp["g2"], sp["gE"], sp["gE"], sp["gE"],
+                   sp["vecE"], sp["vecE"]),
         compiler_params=_VMEM32,
     )(x, scale.reshape(1, D), bias.reshape(1, D),
       wr.astype(jnp.float32), br.reshape(1, E).astype(jnp.float32))
@@ -333,13 +361,14 @@ def _dispatch_fwd_call(cfg, x, scale, bias, wr, br):
 
 def _moe_dispatch_fwd(cfg, x, scale, bias, wr, br):
     out = _dispatch_fwd_call(cfg, x, scale, bias, wr, br)
-    _, gates, pos1, pos2, probs = out
+    _, gates, pos1, pos2, probs = out[:5]
     return out, (x, scale, bias, wr, br, pos1, pos2, probs)
 
 
 def _moe_dispatch_bwd(cfg, res, cts):
     x, scale, bias, wr, br, pos1, pos2, probs = res
-    dxin, dgates, _dp1, _dp2, dprobs = cts  # pos cotangents are meaningless
+    # pos/cnt cotangents are meaningless (piecewise-constant outputs)
+    dxin, dgates, _dp1, _dp2, dprobs, _dcnt, dpsum = cts
     T, D = x.shape
     E = cfg.num_experts
     sp = _dispatch_specs(cfg, T, D)
@@ -355,11 +384,12 @@ def _moe_dispatch_bwd(cfg, res, cts):
         grid=(sp["G"] // sp["gb"],),
         in_specs=[sp["x"], sp["vecD"], sp["vecD"], sp["wr"],
                   sp["gE"], sp["gE"], sp["gE"],
-                  sp["xin"], sp["g2"], sp["gE"]],
+                  sp["xin"], sp["g2"], sp["gE"], sp["vecE"]],
         out_specs=(sp["x"], sp["vecD"], sp["vecD"], sp["wr"], sp["vecE"]),
         compiler_params=_VMEM32,
     )(x, scale.reshape(1, D), bias.reshape(1, D), wr.astype(jnp.float32),
-      pos1, pos2, probs, dxin, dgates, dprobs)
+      pos1, pos2, probs, dxin, dgates, dprobs,
+      dpsum.reshape(1, E).astype(jnp.float32))
     return (dx, ds.reshape(scale.shape).astype(scale.dtype),
             db.reshape(bias.shape).astype(bias.dtype),
             dwr.astype(wr.dtype),
@@ -371,8 +401,13 @@ moe_dispatch.defvjp(_moe_dispatch_fwd, _moe_dispatch_bwd)
 
 # ----------------------------------------------------------------- combine
 
-def _combine_fwd_kernel(out_ref, gates_ref, p1_ref, p2_ref, part_ref,
-                        *, cfg: MoEDispatchCfg, gb: int):
+def _combine_fwd_kernel(*refs, cfg: MoEDispatchCfg, gb: int,
+                        with_res: bool):
+    if with_res:
+        out_ref, gates_ref, p1_ref, p2_ref, res_ref, part_ref = refs
+    else:
+        out_ref, gates_ref, p1_ref, p2_ref, part_ref = refs
+        res_ref = None
     E, cpad, gs = cfg.num_experts, cfg.cpad, cfg.gs
     D = out_ref.shape[-1]
     for j in range(gb):
@@ -384,9 +419,15 @@ def _combine_fwd_kernel(out_ref, gates_ref, p1_ref, p2_ref, part_ref,
         if cfg.topk == 2:
             cdd = cdd + (_build_dd(p2_ref[j], cfg.cap, cpad, jnp.float32)
                          * g[:, 1][:, None])
-        part_ref[j * gs:(j + 1) * gs, :] = jnp.dot(
-            cdd, outf, preferred_element_type=jnp.float32
-        ).astype(part_ref.dtype)
+        part = jnp.dot(cdd, outf, preferred_element_type=jnp.float32)
+        if res_ref is not None:
+            # residual added in fp32 AFTER rounding the combine to the
+            # compute dtype — the exact op sequence the XLA residual add
+            # performed (part.astype(cdt).astype(f32) + res.astype(f32)),
+            # so fusing it in-kernel is bitwise-neutral
+            part = (part.astype(part_ref.dtype).astype(jnp.float32)
+                    + res_ref[j * gs:(j + 1) * gs, :].astype(jnp.float32))
+        part_ref[j * gs:(j + 1) * gs, :] = part.astype(part_ref.dtype)
 
 
 def _combine_bwd_kernel(out_ref, gates_ref, p1_ref, p2_ref, dpart_ref,
@@ -427,31 +468,44 @@ def moe_combine(cfg: MoEDispatchCfg, out, gates, pos1, pos2):
     return _combine_fwd_call(cfg, out, gates, pos1, pos2)
 
 
-def _combine_fwd_call(cfg, out, gates, pos1, pos2):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def moe_combine_res(cfg: MoEDispatchCfg, out, gates, pos1, pos2, res):
+    """``moe_combine`` with the block's residual add fused in: returns
+    ``(res_f32 + combine_rounded_to_cdt_f32).astype(cdt)`` — the exact op
+    sequence the XLA-side residual add performed, moved in-kernel so the
+    combine output never round-trips HBM through a convert + add pass
+    (the r5 trace charged ~5.7 ms/step to that family at the DiT-S MoE
+    production shape). ``res (T, D)`` may be any float dtype (it is read
+    as-is and upcast in-kernel); the residual cotangent is the output
+    cotangent unchanged."""
+    return _combine_fwd_call(cfg, out, gates, pos1, pos2, res)
+
+
+def _combine_fwd_call(cfg, out, gates, pos1, pos2, res=None):
+    E, S, D = out.shape
+    G = S // cfg.cpad
+    sp = _dispatch_specs(cfg, G * cfg.gs, D)
+    in_specs = [sp["xin"], sp["g2"], sp["gE"], sp["gE"]]
+    operands = (out, gates, pos1, pos2)
+    if res is not None:
+        in_specs.append(sp["x"])
+        operands = operands + (res,)
+    return _pallas_call(
+        functools.partial(_combine_fwd_kernel, cfg=cfg, gb=sp["gb"],
+                          with_res=res is not None),
+        out_shape=jax.ShapeDtypeStruct((G * cfg.gs, D), _cdt(cfg)),
+        grid=(G // sp["gb"],),
+        in_specs=in_specs,
+        out_specs=sp["x"],
+        compiler_params=_VMEM32,
+    )(*operands)
+
+
+def _combine_bwd_call(cfg, out, gates, pos1, pos2, dpart):
     E, S, D = out.shape
     G = S // cfg.cpad
     sp = _dispatch_specs(cfg, G * cfg.gs, D)
     return _pallas_call(
-        functools.partial(_combine_fwd_kernel, cfg=cfg, gb=sp["gb"]),
-        out_shape=jax.ShapeDtypeStruct((G * cfg.gs, D), _cdt(cfg)),
-        grid=(G // sp["gb"],),
-        in_specs=[sp["xin"], sp["g2"], sp["gE"], sp["gE"]],
-        out_specs=sp["x"],
-        compiler_params=_VMEM32,
-    )(out, gates, pos1, pos2)
-
-
-def _moe_combine_fwd(cfg, out, gates, pos1, pos2):
-    part = _combine_fwd_call(cfg, out, gates, pos1, pos2)
-    return part, (out, gates, pos1, pos2)
-
-
-def _moe_combine_bwd(cfg, res, dpart):
-    out, gates, pos1, pos2 = res
-    E, S, D = out.shape
-    G = S // cfg.cpad
-    sp = _dispatch_specs(cfg, G * cfg.gs, D)
-    dout, dgates = _pallas_call(
         functools.partial(_combine_bwd_kernel, cfg=cfg, gb=sp["gb"]),
         out_shape=(
             jax.ShapeDtypeStruct(out.shape, out.dtype),
@@ -462,10 +516,39 @@ def _moe_combine_bwd(cfg, res, dpart):
         out_specs=(sp["xin"], sp["g2"]),
         compiler_params=_VMEM32,
     )(out, gates, pos1, pos2, dpart)
+
+
+def _moe_combine_fwd(cfg, out, gates, pos1, pos2):
+    part = _combine_fwd_call(cfg, out, gates, pos1, pos2)
+    return part, (out, gates, pos1, pos2)
+
+
+def _moe_combine_bwd(cfg, res, dpart):
+    out, gates, pos1, pos2 = res
+    dout, dgates = _combine_bwd_call(cfg, out, gates, pos1, pos2, dpart)
     return dout, dgates, jnp.zeros_like(pos1), jnp.zeros_like(pos2)
 
 
 moe_combine.defvjp(_moe_combine_fwd, _moe_combine_bwd)
+
+
+def _moe_combine_res_fwd(cfg, out, gates, pos1, pos2, res):
+    part = _combine_fwd_call(cfg, out, gates, pos1, pos2, res)
+    # `res` rides the residuals only for its dtype; it aliases the block
+    # input already saved by the dispatch VJP, so no extra HBM liveness
+    return part, (out, gates, pos1, pos2, res)
+
+
+def _moe_combine_res_bwd(cfg, resids, dpart):
+    out, gates, pos1, pos2, res = resids
+    dout, dgates = _combine_bwd_call(cfg, out, gates, pos1, pos2, dpart)
+    # d(res) = d(part): the residual enters through a fp32 add and leaves
+    # through the cdt rounding — identity to the cotangent
+    return (dout, dgates, jnp.zeros_like(pos1), jnp.zeros_like(pos2),
+            dpart.astype(res.dtype))
+
+
+moe_combine_res.defvjp(_moe_combine_res_fwd, _moe_combine_res_bwd)
 
 
 # ------------------------------------------------------------------- gates

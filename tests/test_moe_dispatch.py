@@ -136,3 +136,57 @@ def test_dispatch_env_hatch_forces_einsum(interpret_kernels, monkeypatch):
     on = mod.apply(params, rows, ln_scale=s, ln_bias=b)
     np.testing.assert_allclose(np.asarray(off), np.asarray(on),
                                rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("res_dtype", [jnp.float32, jnp.bfloat16])
+def test_residual_fused_matches_einsum(interpret_kernels, res_dtype):
+    """The in-kernel residual add (moe_combine_res) must match the einsum
+    path's XLA fp32 residual add in value AND in every gradient including
+    d/d(residual) — for both residual dtypes the DiT block can supply
+    (bf16 stream after a fused attention half, fp32 after an XLA one)."""
+    mod, params, rows, s, b = _setup(1)
+    res = jax.random.normal(jax.random.PRNGKey(9), rows.shape).astype(
+        res_dtype)
+
+    def loss_fn(params, rows, s, b, res):
+        out, mut = mod.apply(params, rows, ln_scale=s, ln_bias=b,
+                             residual=res, mutable=["losses"])
+        (aux,) = jax.tree.leaves(dict(mut)["losses"])
+        return jnp.sum(out.astype(jnp.float32) ** 2) + 0.01 * aux
+
+    val_f = loss_fn(params, rows, s, b, res)
+    g_f = jax.grad(loss_fn, argnums=(0, 1, 4))(params, rows, s, b, res)
+
+    import os
+    os.environ["DDM_TPU_PALLAS_INTERPRET"] = "0"  # einsum fallback
+    try:
+        val_r = loss_fn(params, rows, s, b, res)
+        g_r = jax.grad(loss_fn, argnums=(0, 1, 4))(params, rows, s, b, res)
+    finally:
+        os.environ["DDM_TPU_PALLAS_INTERPRET"] = "1"
+
+    np.testing.assert_allclose(float(val_f), float(val_r), rtol=2e-5)
+    flat_f = jax.tree_util.tree_leaves_with_path(g_f)
+    flat_r = jax.tree.leaves(g_r)
+    assert len(flat_f) == len(flat_r)
+    for (path, a), bb in zip(flat_f, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            rtol=5e-4, atol=5e-5, err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_aux_stats_match_einsum_formula(interpret_kernels):
+    """The in-kernel (cnt, psum) aux statistics must reproduce the einsum
+    path's aux value: E * sum(frac_e * mean_prob_e) with frac from the
+    pre-capacity first-choice one-hot (capacity-dropped tokens still
+    count — they were routed)."""
+    mod, params, rows, s, b = _setup(1, cf=0.25)  # heavy drops
+    _, _, aux_f = _loss(mod, params, rows, s, b)
+    import os
+    os.environ["DDM_TPU_PALLAS_INTERPRET"] = "0"
+    try:
+        _, _, aux_r = _loss(mod, params, rows, s, b)
+    finally:
+        os.environ["DDM_TPU_PALLAS_INTERPRET"] = "1"
+    np.testing.assert_allclose(float(aux_f), float(aux_r), rtol=1e-5)
