@@ -306,16 +306,18 @@ class DiTBlock(nn.Module):
             tp_axis=self.tp_axis, dtype=self.dtype, name="moe",
         )
         if self.tp_axis is None and self.tp == 1:
-            # replicated path: hand LN2's params AND the residual stream
-            # to MoEMLP so the fused Pallas prologue (LN + router +
-            # dispatch) and the combine epilogue's in-kernel residual add
-            # can engage; same {scale, bias} tree as nn.LayerNorm. The
-            # residual keeps x's own dtype — the module reproduces the
-            # fp32 add this block used to perform.
+            # replicated path: hand LN2's params to MoEMLP so the fused
+            # Pallas prologue (LN + router + dispatch) can engage, and
+            # declare the residual stream to be the module input itself
+            # (the "rows" sentinel) — the combine epilogue then performs
+            # the block's fp32 residual add in-kernel and the backward's
+            # residual-cotangent join runs inside the dispatch kernel.
+            # Same {scale, bias} tree as nn.LayerNorm; x is already
+            # self.dtype between blocks, so the astype is an identity and
+            # the module reproduces the fp32 add this block used to do.
             s2, b2 = _LNParams(self.dim, name="norm2")()
             out = moe(x.astype(self.dtype).reshape(B * N, D),
-                      ln_scale=s2, ln_bias=b2,
-                      residual=x.reshape(B * N, D))
+                      ln_scale=s2, ln_bias=b2, residual="rows")
             return out.reshape(B, N, D).astype(self.dtype)
         # EP path: LN outside (replicated compute), einsum dispatch
         # with the f/g collective discipline, residual added here

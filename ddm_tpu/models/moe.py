@@ -108,19 +108,26 @@ class MoEMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def _fused(self, rows, ln_scale, ln_bias, wr, br, w1, b1, w2, b2,
-               gs: int, cap: int, residual=None) -> jnp.ndarray:
+               gs: int, cap: int, residual=None,
+               res_is_rows: bool = False) -> jnp.ndarray:
         """Fused-kernel body (``ddm_tpu.ops.moe_dispatch``): one Pallas
         prologue (LN2 + router + top-k capacity dispatch), the tiered
         expert-FFN kernel, one combine epilogue. The one-hot dispatch
         tensors never reach HBM; routing state rides as compact
         ``(pos, gates)`` arrays, the Switch aux statistics as in-kernel
         ``(1, E)`` sums, and (with ``residual``) the block's residual add
-        runs inside the combine epilogue. Replicated (non-EP) path only."""
+        runs inside the combine epilogue. With ``res_is_rows`` (the DiT
+        block's case: the residual stream IS the dispatch input) the
+        residual rides the dispatch pass-through so its backward
+        cotangent joins ``dx`` inside the dispatch backward kernel
+        instead of as an XLA add of two kernel outputs. Replicated
+        (non-EP) path only."""
         import jax as _jax
 
         from ddm_tpu.ops.expert_ffn import expert_ffn_auto
         from ddm_tpu.ops.moe_dispatch import (
             MoEDispatchCfg, moe_combine, moe_combine_res, moe_dispatch,
+            moe_dispatch_thru,
         )
 
         T, D = rows.shape
@@ -129,8 +136,13 @@ class MoEMLP(nn.Module):
             gs=gs, cap=cap, cpad=-(-cap // 8) * 8, num_experts=E,
             topk=self.topk, cdt=jnp.dtype(self.dtype).name,
         )
-        xin, gates, pos1, pos2, _probs, cnt, psum = moe_dispatch(
-            cfg, rows, ln_scale, ln_bias, wr, br)
+        if res_is_rows:
+            (xin, gates, pos1, pos2, _probs, cnt, psum,
+             residual) = moe_dispatch_thru(
+                cfg, rows, ln_scale, ln_bias, wr, br)
+        else:
+            xin, gates, pos1, pos2, _probs, cnt, psum = moe_dispatch(
+                cfg, rows, ln_scale, ln_bias, wr, br)
         pos1 = _jax.lax.stop_gradient(pos1)
         pos2 = _jax.lax.stop_gradient(pos2)
         # Switch aux (same formula as the einsum path; frac from the
@@ -163,7 +175,16 @@ class MoEMLP(nn.Module):
         ``(residual_f32 + out_f32).astype(dtype)`` — added inside the
         combine kernel on the fused path, in XLA fp32 on the einsum
         fallback; both match the expression the DiT block used to apply.
+        The string sentinel ``"rows"`` declares that the residual stream
+        IS ``rows`` itself (the DiT block's case): the fused path then
+        routes it through the dispatch pass-through so the backward's
+        residual-cotangent join runs inside the dispatch kernel.
         """
+        res_is_rows = isinstance(residual, str)
+        if res_is_rows:
+            if residual != "rows":
+                raise ValueError(f"unknown residual sentinel {residual!r}")
+            residual = rows
         shard = self.tp_axis is not None
         e_local = self.num_experts // self.tp if shard else self.num_experts
         T, D = rows.shape
@@ -208,7 +229,8 @@ class MoEMLP(nn.Module):
                     and moe_dispatch_ok(T, gs, E, cap, D, self.topk)):
                 return self._fused(rows, ln_scale, ln_bias, wr, br,
                                    w1, b1, w2, b2, gs, cap,
-                                   residual=residual)
+                                   residual=residual,
+                                   res_is_rows=res_is_rows)
             from ddm_tpu.ops.mlp_block import _ln
 
             # jnp LN2 fallback (off-TPU / ragged / init trace). `rows` may

@@ -64,8 +64,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .mlp_block import _ln, _pallas_call
 from .pallas_config import kernels_enabled
 
-__all__ = ["MoEDispatchCfg", "moe_dispatch", "moe_combine",
-           "moe_combine_res", "moe_dispatch_ok"]
+__all__ = ["MoEDispatchCfg", "moe_dispatch", "moe_dispatch_thru",
+           "moe_combine", "moe_combine_res", "moe_dispatch_ok"]
 
 
 class MoEDispatchCfg(NamedTuple):
@@ -195,11 +195,18 @@ def _dispatch_fwd_kernel(x_ref, s_ref, b_ref, wr_ref, br_ref,
     cnt_ref[:] += cnt_local
 
 
-def _dispatch_bwd_kernel(x_ref, s_ref, b_ref, wr_ref,
-                         p1_ref, p2_ref, probs_ref,
-                         dxin_ref, dgates_ref, dprobs_ref, dpsum_ref,
-                         dx_ref, ds_ref, db_ref, dwr_ref, dbr_ref,
-                         *, cfg: MoEDispatchCfg, gb: int):
+def _dispatch_bwd_kernel(*refs, cfg: MoEDispatchCfg, gb: int,
+                         with_dres: bool):
+    if with_dres:
+        (x_ref, s_ref, b_ref, wr_ref, p1_ref, p2_ref, probs_ref,
+         dxin_ref, dgates_ref, dprobs_ref, dpsum_ref, dres_ref,
+         dx_ref, ds_ref, db_ref, dwr_ref, dbr_ref) = refs
+    else:
+        (x_ref, s_ref, b_ref, wr_ref, p1_ref, p2_ref, probs_ref,
+         dxin_ref, dgates_ref, dprobs_ref, dpsum_ref,
+         dx_ref, ds_ref, db_ref, dwr_ref, dbr_ref) = refs
+        dres_ref = None
+
     @pl.when(pl.program_id(0) == 0)
     def _init():
         for r in (ds_ref, db_ref, dwr_ref, dbr_ref):
@@ -268,7 +275,13 @@ def _dispatch_bwd_kernel(x_ref, s_ref, b_ref, wr_ref,
     dxhat = dy * s_ref[:]
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    dx_ref[:] = (inv * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+    dxv = inv * (dxhat - m1 - xhat * m2)
+    if dres_ref is not None:
+        # thru path: x's residual-stream cotangent (= the block-output
+        # cotangent) joins the LN-path cotangent here, in fp32, instead
+        # of as a full-HBM XLA add of the two kernel outputs
+        dxv = dxv + dres_ref[:].astype(jnp.float32)
+    dx_ref[:] = dxv.astype(dx_ref.dtype)
 
 
 def _groups_per_block(cfg: MoEDispatchCfg, G: int, D: int) -> int:
@@ -365,15 +378,24 @@ def _moe_dispatch_fwd(cfg, x, scale, bias, wr, br):
     return out, (x, scale, bias, wr, br, pos1, pos2, probs)
 
 
-def _moe_dispatch_bwd(cfg, res, cts):
+def _dispatch_bwd_call(cfg, res, dxin, dgates, dprobs, dpsum, dres=None):
     x, scale, bias, wr, br, pos1, pos2, probs = res
-    # pos/cnt cotangents are meaningless (piecewise-constant outputs)
-    dxin, dgates, _dp1, _dp2, dprobs, _dcnt, dpsum = cts
     T, D = x.shape
     E = cfg.num_experts
     sp = _dispatch_specs(cfg, T, D)
+    in_specs = [sp["x"], sp["vecD"], sp["vecD"], sp["wr"],
+                sp["gE"], sp["gE"], sp["gE"],
+                sp["xin"], sp["g2"], sp["gE"], sp["vecE"]]
+    operands = (x, scale.reshape(1, D), bias.reshape(1, D),
+                wr.astype(jnp.float32), pos1, pos2, probs,
+                dxin, dgates, dprobs,
+                dpsum.reshape(1, E).astype(jnp.float32))
+    if dres is not None:
+        in_specs.append(sp["x"])
+        operands = operands + (dres,)
     dx, ds, db, dwr, dbr = _pallas_call(
-        functools.partial(_dispatch_bwd_kernel, cfg=cfg, gb=sp["gb"]),
+        functools.partial(_dispatch_bwd_kernel, cfg=cfg, gb=sp["gb"],
+                          with_dres=dres is not None),
         out_shape=(
             jax.ShapeDtypeStruct((T, D), x.dtype),
             jax.ShapeDtypeStruct((1, D), jnp.float32),
@@ -382,21 +404,55 @@ def _moe_dispatch_bwd(cfg, res, cts):
             jax.ShapeDtypeStruct((1, E), jnp.float32),
         ),
         grid=(sp["G"] // sp["gb"],),
-        in_specs=[sp["x"], sp["vecD"], sp["vecD"], sp["wr"],
-                  sp["gE"], sp["gE"], sp["gE"],
-                  sp["xin"], sp["g2"], sp["gE"], sp["vecE"]],
+        in_specs=in_specs,
         out_specs=(sp["x"], sp["vecD"], sp["vecD"], sp["wr"], sp["vecE"]),
         compiler_params=_VMEM32,
-    )(x, scale.reshape(1, D), bias.reshape(1, D), wr.astype(jnp.float32),
-      pos1, pos2, probs, dxin, dgates, dprobs,
-      dpsum.reshape(1, E).astype(jnp.float32))
+    )(*operands)
     return (dx, ds.reshape(scale.shape).astype(scale.dtype),
             db.reshape(bias.shape).astype(bias.dtype),
             dwr.astype(wr.dtype),
             dbr.reshape(br.shape).astype(br.dtype))
 
 
+def _moe_dispatch_bwd(cfg, res, cts):
+    # pos/cnt cotangents are meaningless (piecewise-constant outputs)
+    dxin, dgates, _dp1, _dp2, dprobs, _dcnt, dpsum = cts
+    return _dispatch_bwd_call(cfg, res, dxin, dgates, dprobs, dpsum)
+
+
 moe_dispatch.defvjp(_moe_dispatch_fwd, _moe_dispatch_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def moe_dispatch_thru(cfg: MoEDispatchCfg, x, scale, bias, wr, br):
+    """``moe_dispatch`` plus a pass-through of ``x`` as the last output,
+    for callers whose residual stream IS the dispatch input (the DiT
+    block). The pass-through costs nothing forward (the primal output is
+    the input array itself, no kernel write); in the backward the
+    pass-through's cotangent — the block-output cotangent arriving via
+    ``moe_combine_res``'s identity residual gradient — is folded into
+    ``dx`` inside the backward kernel in fp32, replacing the full-HBM
+    XLA join add of the two gradient paths of ``x`` (the r5 trace
+    charged ~0.31 ms/block to that ``add_any``). Only valid because the
+    residual and the dispatch input are the same autodiff variable:
+    summing their cotangents at ``dx`` is exactly the total gradient."""
+    return (*_dispatch_fwd_call(cfg, x, scale, bias, wr, br), x)
+
+
+def _moe_dispatch_thru_fwd(cfg, x, scale, bias, wr, br):
+    out = _dispatch_fwd_call(cfg, x, scale, bias, wr, br)
+    _, gates, pos1, pos2, probs = out[:5]
+    return (*out, x), (x, scale, bias, wr, br, pos1, pos2, probs)
+
+
+def _moe_dispatch_thru_bwd(cfg, res, cts):
+    dxin, dgates, _dp1, _dp2, dprobs, _dcnt, dpsum, dthru = cts
+    x = res[0]
+    return _dispatch_bwd_call(cfg, res, dxin, dgates, dprobs, dpsum,
+                              dres=dthru.astype(x.dtype))
+
+
+moe_dispatch_thru.defvjp(_moe_dispatch_thru_fwd, _moe_dispatch_thru_bwd)
 
 
 # ----------------------------------------------------------------- combine

@@ -190,3 +190,53 @@ def test_aux_stats_match_einsum_formula(interpret_kernels):
     finally:
         os.environ["DDM_TPU_PALLAS_INTERPRET"] = "1"
     np.testing.assert_allclose(float(aux_f), float(aux_r), rtol=1e-5)
+
+
+@pytest.mark.parametrize("topk", [1, 2])
+def test_rows_sentinel_matches_einsum(interpret_kernels, topk):
+    """residual="rows" (the DiT block's production contract) must match
+    the einsum path given the same declaration, in value and EVERY
+    gradient: the fused path routes the residual through the dispatch
+    pass-through (moe_dispatch_thru) so d(rows) is the LN-path cotangent
+    plus the block-output cotangent, joined inside the backward kernel."""
+    mod, params, rows, s, b = _setup(topk)
+
+    def loss_fn(params, rows, s, b):
+        out, mut = mod.apply(params, rows, ln_scale=s, ln_bias=b,
+                             residual="rows", mutable=["losses"])
+        (aux,) = jax.tree.leaves(dict(mut)["losses"])
+        return jnp.sum(out.astype(jnp.float32) ** 2) + 0.01 * aux
+
+    import ddm_tpu.ops.moe_dispatch as MD
+    thru_calls = {"n": 0}
+    real = MD.moe_dispatch_thru
+
+    def spy(cfg, *a):
+        thru_calls["n"] += 1
+        return real(cfg, *a)
+
+    MD.moe_dispatch_thru = spy
+    try:
+        val_f = loss_fn(params, rows, s, b)
+        g_f = jax.grad(loss_fn, argnums=(0, 1, 2, 3))(params, rows, s, b)
+    finally:
+        MD.moe_dispatch_thru = real
+    assert thru_calls["n"] > 0  # the pass-through path actually engaged
+
+    import os
+    os.environ["DDM_TPU_PALLAS_INTERPRET"] = "0"  # einsum fallback
+    try:
+        val_r = loss_fn(params, rows, s, b)
+        g_r = jax.grad(loss_fn, argnums=(0, 1, 2, 3))(params, rows, s, b)
+    finally:
+        os.environ["DDM_TPU_PALLAS_INTERPRET"] = "1"
+
+    np.testing.assert_allclose(float(val_f), float(val_r), rtol=2e-5)
+    flat_f = jax.tree_util.tree_leaves_with_path(g_f)
+    flat_r = jax.tree.leaves(g_r)
+    assert len(flat_f) == len(flat_r)
+    for (path, a), bb in zip(flat_f, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(bb, np.float32),
+            rtol=5e-4, atol=5e-5, err_msg=jax.tree_util.keystr(path),
+        )
