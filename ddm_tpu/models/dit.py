@@ -298,12 +298,15 @@ class DiTBlock(nn.Module):
         """LN2 + top-k expert MLP + residual (replaces the dense MLP)."""
         from ddm_tpu.models.moe import MoEMLP
 
-        B, N, D = x.shape
+        shard = self.tp_axis is not None
+        sp = self.sequence_parallel and shard
+        B, N, D = x.shape  # N is the LOCAL token count under sp
         moe = MoEMLP(
             self.dim, int(self.dim * self.mlp_ratio), self.moe_experts,
             capacity_factor=self.moe_capacity,
             group_size=self.moe_group_size, topk=self.moe_topk, tp=self.tp,
-            tp_axis=self.tp_axis, dtype=self.dtype, name="moe",
+            tp_axis=self.tp_axis, sequence_parallel=self.sequence_parallel,
+            dtype=self.dtype, name="moe",
         )
         if self.tp_axis is None and self.tp == 1:
             # replicated path: hand LN2's params to MoEMLP so the fused
@@ -319,6 +322,26 @@ class DiTBlock(nn.Module):
             out = moe(x.astype(self.dtype).reshape(B * N, D),
                       ln_scale=s2, ln_bias=b2, residual="rows")
             return out.reshape(B, N, D).astype(self.dtype)
+        if sp:
+            from ddm_tpu.parallel.tp import tp_region_enter
+
+            # SP+EP path: the residual stream is TOKEN-sharded. LN2 runs
+            # on the local shard (per-token op; params replicated but
+            # consumed on a shard, so their cotangents are partials —
+            # f-wrap reassembles them, same as the dense SP norm1), then
+            # MoEMLP routes the local tokens and ships capacity-sliced
+            # all_to_alls across the expert axis. Residual adds locally;
+            # the output stays token-sharded for the next block.
+            s2, b2 = _LNParams(self.dim, name="norm2")()
+            h = _layernorm(
+                x,
+                tp_region_enter(s2, self.tp_axis),
+                tp_region_enter(b2, self.tp_axis),
+            ).astype(self.dtype)
+            out = moe(h.reshape(B * N, D))
+            out = (x.astype(jnp.float32)
+                   + out.astype(jnp.float32).reshape(B, N, D))
+            return out.astype(self.dtype)
         # EP path: LN outside (replicated compute), einsum dispatch
         # with the f/g collective discipline, residual added here
         h = nn.LayerNorm(dtype=jnp.float32,
@@ -563,12 +586,6 @@ class DDDMDiT(nn.Module):
                 raise ValueError(
                     f"moe_experts ({self.moe_experts}) must be divisible "
                     f"by tp ({self.tp}) for expert parallelism"
-                )
-            if self.sequence_parallel:
-                raise ValueError(
-                    "moe_experts with sequence_parallel is unsupported: "
-                    "token-sharded rows meeting expert-sharded weights "
-                    "would need an all_to_all dispatch (not implemented)"
                 )
             if self.mlp_persist_blocks:
                 raise ValueError(

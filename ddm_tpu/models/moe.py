@@ -26,6 +26,13 @@ TPU-first in the GShard/Switch style:
     (one psum per MoE block, identical comm volume to the dense TP MLP).
     Composes with tensor-parallel attention on the same axis and with the
     pipeline stage scan (the expert dimension stacks like any other leaf).
+  * **Sequence-parallel expert parallelism** (``sequence_parallel=True``,
+    the GShard transport): rows arrive token-sharded, routing runs on the
+    local T/tp rows in per-shard groups, and the expert-FFN inputs cross
+    the axis as capacity-sliced ``(E, slots, D)`` ``all_to_all`` pairs
+    instead of the token psums — MoE wire volume and routing compute both
+    scale ~1/tp, which is what makes expert parallelism weak-scale
+    (ROOFLINE §6).
 
 Aux signal: the standard Switch load-balance loss (mean over experts of
 ``E * fraction_routed * mean_prob``) is returned via ``self.sow`` under
@@ -105,6 +112,18 @@ class MoEMLP(nn.Module):
     topk: int = 1
     tp: int = 1
     tp_axis: Optional[str] = None
+    # Sequence-parallel expert parallelism: ``rows`` arrive TOKEN-sharded
+    # over ``tp_axis`` (each shard holds T/tp rows) instead of replicated.
+    # Routing runs on the local token shard only, routing groups are
+    # formed per shard (GShard's per-device grouping — identical to the
+    # replicated partition whenever ``group_size`` divides the local row
+    # count), and the expert FFN inputs cross the axis as CAPACITY-SLICED
+    # ``all_to_all``s of the (E, slots, D) dispatch output instead of the
+    # replicated path's full-(T, D) fp32 psum pair: each shard ships only
+    # the ~``capacity_factor x topk / tp`` fraction of rows that actually
+    # route off-shard, in the compute dtype. Both router compute and
+    # dispatch/combine einsums scale 1/tp. Requires ``tp_axis``.
+    sequence_parallel: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def _fused(self, rows, ln_scale, ln_bias, wr, br, w1, b1, w2, b2,
@@ -186,6 +205,7 @@ class MoEMLP(nn.Module):
                 raise ValueError(f"unknown residual sentinel {residual!r}")
             residual = rows
         shard = self.tp_axis is not None
+        a2a = self.sequence_parallel and shard
         e_local = self.num_experts // self.tp if shard else self.num_experts
         T, D = rows.shape
         E = self.num_experts
@@ -243,9 +263,13 @@ class MoEMLP(nn.Module):
         if shard:
             from ddm_tpu.parallel.tp import tp_region_enter
 
-            # every replicated value consumed by per-shard expert branches
-            # gets partial cotangents; the f operator psums them back
-            rows = tp_region_enter(rows, self.tp_axis)
+            # every replicated value consumed by per-shard branches gets
+            # partial cotangents; the f operator psums them back. Under
+            # sequence parallelism `rows` are GENUINELY sharded (each
+            # shard's cotangent is the true gradient of its own tokens)
+            # so only the replicated router params enter.
+            if not a2a:
+                rows = tp_region_enter(rows, self.tp_axis)
             wr = tp_region_enter(wr, self.tp_axis)
             br = tp_region_enter(br, self.tp_axis)
 
@@ -326,11 +350,24 @@ class MoEMLP(nn.Module):
         # TrainState param tree (AdamW would weight-decay it).
         if not self.is_initializing():
             denom = float(n_valid)
-            frac = jnp.sum(onehot, axis=(0, 1)) / denom
+            cnt = jnp.sum(onehot, axis=(0, 1))
             if T_pad != n_valid:
-                mean_p = jnp.sum(probs * valid, axis=(0, 1)) / denom
+                sump = jnp.sum(probs * valid, axis=(0, 1))
             else:
-                mean_p = jnp.mean(probs, axis=(0, 1))
+                sump = jnp.sum(probs, axis=(0, 1))
+            if a2a:
+                # Switch statistics are means over ALL tokens but only
+                # T/tp live here: psum the (E,) count/prob sums — the
+                # only sub-KB collective in the block. Each shard then
+                # holds the identical global aux; the 1/tp cotangent
+                # scale below makes the psum transpose (itself a psum
+                # under check_vma=False) reconstruct exactly 1x into the
+                # local probs.
+                cnt = jax.lax.psum(cnt, self.tp_axis)
+                sump = jax.lax.psum(sump, self.tp_axis)
+                denom = denom * self.tp
+            frac = cnt / denom
+            mean_p = sump / denom
             aux = E * jnp.sum(frac * mean_p)
             if shard:
                 # Every input of aux passed through tp_region_enter, whose
@@ -345,7 +382,7 @@ class MoEMLP(nn.Module):
                 aux = aux * inv + jax.lax.stop_gradient(aux * (1.0 - inv))
             self.sow("losses", "moe_aux", aux)
 
-        if shard:
+        if shard and not a2a:
             s = jax.lax.axis_index(self.tp_axis)
             parts = [
                 (jax.lax.dynamic_slice_in_dim(d, s * e_local, e_local, 2), g)
@@ -355,7 +392,9 @@ class MoEMLP(nn.Module):
         combine = sum(d * g[..., None, None] for d, g in parts)
 
         comp = self.dtype
-        el = e_local if shard else E
+        # a2a: dispatch/combine tensors stay FULL-E width (the local
+        # tokens' slots for every expert, shipped to the expert's owner)
+        el = e_local if shard and not a2a else E
         # Dispatch emits (El, G, C, D) and the expert FFN runs on each
         # expert's G*C slots FLATTENED into one matmul: einsums batched
         # over (G, El) pairs lower to C-row matmuls (C ~= 40 at the
@@ -366,6 +405,18 @@ class MoEMLP(nn.Module):
         xin = jnp.einsum("gtec,gtd->egcd", local.astype(comp),
                          rows_g.astype(comp))                    # (El, G, C, D)
         xin = xin.reshape(el, G * cap, D)
+        if a2a:
+            # Capacity-sliced all-to-all (GShard's dispatch transport):
+            # split the expert dim so each shard receives every shard's
+            # slot rows for ITS local experts, concatenated on the slot
+            # dim — (E, S, D) -> (E/tp, tp*S, D). Wire volume per shard
+            # per direction is (tp-1)/tp * E*S*D in the compute dtype,
+            # i.e. the capacity_factor*topk slot fraction of the local
+            # tokens — vs the replicated path's full-(T, D) fp32 psum
+            # pair. The transpose of all_to_all is the reverse
+            # all_to_all, so the backward ships the same sliced volume.
+            xin = jax.lax.all_to_all(
+                xin, self.tp_axis, split_axis=0, concat_axis=1, tiled=True)
         from ddm_tpu.ops.expert_ffn import expert_ffn_auto
 
         # tiered kernel dispatch (ops/expert_ffn.py): fully-fused Pallas
@@ -374,13 +425,17 @@ class MoEMLP(nn.Module):
         # the production shape), forward-only kernel at DiT-B+ widths,
         # jnp reference off-TPU/odd shapes
         out = expert_ffn_auto(xin, w1, b1, w2, b2, dtype=comp)
+        if a2a:
+            # return each slot row to its token's owner shard
+            out = jax.lax.all_to_all(
+                out, self.tp_axis, split_axis=1, concat_axis=0, tiled=True)
         out = out.reshape(el, G, cap, D)
 
         part = jnp.einsum(
             "gtec,egcd->gtd", combine.astype(jnp.float32),
             out.astype(jnp.float32),
         )                                                        # (G, gs, D)
-        if shard:
+        if shard and not a2a:
             from ddm_tpu.parallel.tp import tp_region_exit
 
             part = tp_region_exit(part, self.tp_axis)

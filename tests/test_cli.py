@@ -442,9 +442,6 @@ def test_cifar_cli_moe_validation(capsys):
         cifar_cli.main(["--moe-experts", "3", "--tp", "2"])
     assert "divisible by --tp" in capsys.readouterr().err
     with pytest.raises(SystemExit):
-        cifar_cli.main(["--moe-experts", "4", "--tp", "2", "--sp"])
-    assert "all_to_all" in capsys.readouterr().err
-    with pytest.raises(SystemExit):
         cifar_cli.main(["--moe-experts", "4", "--mlp-persist", "2"])
     assert "dense MLP half" in capsys.readouterr().err
 

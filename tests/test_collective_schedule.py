@@ -225,6 +225,55 @@ def test_ep_schedule_is_block_psums_not_all_to_all():
     assert data_axis[0] <= pbytes + 1024
 
 
+def test_sp_ep_schedule_is_capacity_sliced_all_to_all():
+    """SP+EP (sequence_parallel MoE): the expert transport is the
+    capacity-sliced all_to_all pair — (E, slots, D) each way per block,
+    forward and transpose — and NO full-(T, D) token psum rides the
+    model axis (the remaining model-axis allreduces are the sub-KB
+    router/LN-param f-psums and the (E,) aux stats). This pins the
+    ROOFLINE §6 claim that SP+EP wire volume is the capacity slot
+    fraction, not the token stream."""
+    depth, tp, B, m = 2, 2, 8, 2
+    kw = dict(tp=tp, moe_experts=4, moe_capacity=2.0, moe_group_size=8,
+              sequence_parallel=True, dtype=jnp.float32)
+    _, params = _tiny_dit(depth=depth, tp_axis=None, **kw)
+    local = DDDMDiT(img_size=8, patch_size=2, embed_dim=32, depth=depth,
+                    num_heads=2, time_embed_dim=16, data_format="NHWC",
+                    tp_axis="model", **kw)
+    mesh = make_mesh(tp=tp)
+    state = TrainState.create(apply_fn=local.apply, params=params,
+                              tx=optax.adam(1e-3))
+    state, sh = place_train_state(state, mesh, DIT_TP_RULES)
+    step = make_sharded_train_step(local.apply, mesh, sh,
+                                   dp_shard_map=True, m=m, beta=0.1,
+                                   lam=1.0, w_bias=0.0)
+    batch = shard_batch(np.zeros((B, 8, 8, 3), np.float32), mesh)
+    hlo = _compiled_hlo(step, state, batch)
+    fp = collective_footprint(hlo)
+    assert "all-to-all" in fp, f"no all_to_all in SP+EP step: {fp}"
+    count, byt = fp["all-to-all"]
+    # 2 per block forward (dispatch out + combine in) + their transposes
+    assert count == 4 * depth, (count, fp)
+    # each ships the (E, G*cap, D) slot tensor: E=4, G=T_local/gs=4,
+    # cap=ceil(8*2.0/4)=4, D=32, fp32
+    dp_n = mesh.devices.size // tp
+    t_local = (B // dp_n) * m * (16 // tp)   # token rows per shard = 32
+    slots = (t_local // 8) * 4               # G * cap = 16
+    a2a_bytes = 4 * slots * 32 * 4           # E * slots * D * fp32
+    assert byt == count * a2a_bytes, (byt, count * a2a_bytes)
+    # No per-block token psum pair on the model axis (the replicated-EP
+    # design would emit 4*depth of them = 4*depth*act bytes): the only
+    # model-axis allreduce is ONE fused op carrying the sub-KB f-psums of
+    # the entered params (LN scales/biases, router, pos-embed) + the (E,)
+    # aux stats — ~10.5 KB total at this shape, vs 65 KB of token psums.
+    act = (B // dp_n) * m * 16 * 32 * 4
+    lines = collective_lines(hlo)
+    ma_ar = [b for k, b, g in lines if k == "all-reduce" and g == tp]
+    assert len(ma_ar) <= 4, (ma_ar, "model-axis allreduce unfused")
+    assert sum(ma_ar) < 2 * act, (ma_ar, act,
+                                  "token-sized psum leaked into SP+EP")
+
+
 def test_moe_dp_schedule_single_fused_allreduce():
     """The shipped MoE config's DP schedule (replicated experts, fused
     Pallas dispatch path): still ONE fused fp32 gradient allreduce of the

@@ -361,3 +361,143 @@ def test_moe_validation():
                 num_heads=2, time_embed_dim=16, tp=2, moe_experts=3,
                 ).init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 8, 8)),
                        jnp.zeros((1,)), jnp.zeros((1, 3, 8, 8)))
+
+
+def _moe_sp_dit_pair(topk: int = 1):
+    """SP+EP pair with routing groups ALIGNED to the token shards.
+
+    group_size=8 with N=16, tp=2: every group is one image's 8-token
+    shard half in BOTH layouts (the a2a path groups each shard's local
+    flatten; the replicated oracle groups the global flatten — with
+    group_size dividing the local token count the partitions and the
+    within-group queueing order coincide), so the full model is an EXACT
+    oracle for the capacity-sliced all_to_all dispatch.
+    """
+    kw = dict(
+        img_size=8, patch_size=2, embed_dim=32, depth=2, num_heads=2,
+        time_embed_dim=16, data_format="NHWC", dtype=jnp.float32,
+        tp=2, moe_experts=4, moe_capacity=2.0, moe_topk=topk,
+        moe_group_size=8, sequence_parallel=True,
+    )
+    full = DDDMDiT(tp_axis=None, **kw)
+    local = DDDMDiT(tp_axis="model", **kw)
+    xt = jnp.zeros((2, 8, 8, 3))
+    params = full.init(jax.random.PRNGKey(0), xt, jnp.zeros((2,)), xt)
+    return full, local, params
+
+
+@pytest.mark.parametrize("topk", [1, 2])
+def test_sp_ep_a2a_train_step_matches_oracle(topk):
+    """DP x SP x EP training step (capacity-sliced all_to_all dispatch)
+    == manual full-model oracle: tokens stay sharded through the MoE
+    block, each shard routes only its own rows, the expert-FFN inputs
+    cross the model axis as (E, slots, D) all_to_alls (forward AND
+    transpose), and no full-(T, D) psum pair exists on the MoE path.
+    Engaged global-norm clip; Switch top-1 and GShard top-2."""
+    from ddm_tpu.parallel import MODEL_AXIS, clip_by_global_norm_sharded
+
+    full, local, params = _moe_sp_dit_pair(topk=topk)
+    hp = dict(m=2, beta=0.1, lam=1.0, w_bias=0.0)
+    key = jax.random.PRNGKey(5)
+    batch = jax.random.normal(jax.random.PRNGKey(6), (8, 8, 8, 3))
+    clip = 1e-3  # always engages
+
+    mesh = make_mesh(tp=2)
+    tx = optax.chain(
+        clip_by_global_norm_sharded(
+            clip, tree_shardings(params, mesh, DIT_TP_RULES), MODEL_AXIS),
+        optax.adam(1e-3),
+    )
+    state = TrainState.create(
+        apply_fn=local.apply, params=jax.tree.map(jnp.copy, params), tx=tx
+    )
+    state, shardings = place_train_state(state, mesh, DIT_TP_RULES)
+    step = make_sharded_train_step(local.apply, mesh, shardings,
+                                   dp_shard_map=True, **hp)
+    state, m_sp = step(state, key, shard_batch(batch, mesh))
+    assert np.isfinite(float(m_sp["loss"]))
+
+    loss_fn = make_loss_fn(full.apply, **hp)
+    ref = TrainState.create(
+        apply_fn=full.apply, params=jax.tree.map(jnp.copy, params),
+        tx=optax.chain(optax.clip_by_global_norm(clip), optax.adam(1e-3)),
+    )
+    shards = batch.reshape(4, 2, 8, 8, 3)
+    acc = None
+    for i in range(4):
+        ki = jax.random.fold_in(key, i)
+        (_, mi), gi = jax.value_and_grad(loss_fn, has_aux=True)(
+            ref.params, ki, shards[i]
+        )
+        acc = gi if acc is None else jax.tree.map(jnp.add, acc, gi)
+    ref = ref.apply_gradients(grads=jax.tree.map(lambda g: g / 4, acc))
+
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref.params)[0],
+        jax.tree_util.tree_flatten_with_path(state.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
+def test_sp_ep_a2a_train_step_with_aux_matches_oracle():
+    """The Switch aux under SP+EP: only T/tp tokens live per shard, so
+    the (E,) count/prob sums cross the axis via psum and the cotangents
+    carry the same 1/tp scale as the replicated-EP aux (the psum
+    transpose is itself a psum under check_vma=False). Per-shard aux
+    VALUE must equal the full-model aux, and one engaged-clip step must
+    match the oracle leaf-for-leaf."""
+    from ddm_tpu.models.moe import make_moe_aux_apply
+    from ddm_tpu.parallel import MODEL_AXIS, clip_by_global_norm_sharded
+
+    full, local, params = _moe_sp_dit_pair(topk=1)
+    hp = dict(m=2, beta=0.1, lam=1.0, w_bias=0.0)
+    key = jax.random.PRNGKey(5)
+    batch = jax.random.normal(jax.random.PRNGKey(6), (8, 8, 8, 3))
+    clip = 1e-3
+
+    mesh = make_mesh(tp=2)
+    tx = optax.chain(
+        clip_by_global_norm_sharded(
+            clip, tree_shardings(params, mesh, DIT_TP_RULES), MODEL_AXIS),
+        optax.adam(1e-3),
+    )
+    state = TrainState.create(
+        apply_fn=local.apply, params=jax.tree.map(jnp.copy, params), tx=tx
+    )
+    state, shardings = place_train_state(state, mesh, DIT_TP_RULES)
+    step = make_sharded_train_step(
+        make_moe_aux_apply(local, 0.5), mesh, shardings,
+        dp_shard_map=True, **hp)
+    state, m_sp = step(state, key, shard_batch(batch, mesh))
+    assert float(m_sp["moe_aux"]) > 0.0
+
+    loss_fn = make_loss_fn(make_moe_aux_apply(full, 0.5), **hp)
+    ref = TrainState.create(
+        apply_fn=full.apply, params=jax.tree.map(jnp.copy, params),
+        tx=optax.chain(optax.clip_by_global_norm(clip), optax.adam(1e-3)),
+    )
+    shards = batch.reshape(4, 2, 8, 8, 3)
+    acc = None
+    aux_vals = []
+    for i in range(4):
+        ki = jax.random.fold_in(key, i)
+        (_, mi), gi = jax.value_and_grad(loss_fn, has_aux=True)(
+            ref.params, ki, shards[i]
+        )
+        aux_vals.append(float(mi["moe_aux"]))
+        acc = gi if acc is None else jax.tree.map(jnp.add, acc, gi)
+    ref = ref.apply_gradients(grads=jax.tree.map(lambda g: g / 4, acc))
+
+    np.testing.assert_allclose(
+        float(m_sp["moe_aux"]), np.mean(aux_vals), rtol=1e-5)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ref.params)[0],
+        jax.tree_util.tree_flatten_with_path(state.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-6,
+            err_msg=jax.tree_util.keystr(pa),
+        )

@@ -871,10 +871,6 @@ def main(argv: Optional[list] = None) -> None:
             parser.error("--moe-experts must be divisible by --tp "
                          "(expert parallelism shards E/tp experts per "
                          "model shard)")
-        if args.sp:
-            parser.error("--moe-experts does not compose with --sp "
-                         "(token-sharded rows meeting expert-sharded "
-                         "weights would need an all_to_all dispatch)")
         if args.mlp_persist:
             parser.error("--mlp-persist applies to the dense MLP half, "
                          "which --moe-experts replaces")
