@@ -156,11 +156,11 @@ class MoEMLP(nn.Module):
             topk=self.topk, cdt=jnp.dtype(self.dtype).name,
         )
         if res_is_rows:
-            (xin, gates, pos1, pos2, _probs, cnt, psum,
+            (xin, gates, pos1, pos2, cnt, psum,
              residual) = moe_dispatch_thru(
                 cfg, rows, ln_scale, ln_bias, wr, br)
         else:
-            xin, gates, pos1, pos2, _probs, cnt, psum = moe_dispatch(
+            xin, gates, pos1, pos2, cnt, psum = moe_dispatch(
                 cfg, rows, ln_scale, ln_bias, wr, br)
         pos1 = _jax.lax.stop_gradient(pos1)
         pos2 = _jax.lax.stop_gradient(pos2)

@@ -17,10 +17,10 @@ The fused design never lets a one-hot tensor touch HBM:
     LN2 -> router matmul -> softmax -> top-k -> capacity queue -> the
     dispatch matmul, emitting the expert slot rows ``xin (E, G*Cp, D)``
     directly in the layout ``ddm_tpu.ops.expert_ffn`` consumes, plus
-    compact routing state: slot positions ``pos (G, gs, E)``, gates
-    ``(G, gs, 2)``, and router ``probs (G, gs, E)`` (differentiable — the
-    Switch aux loss consumes it in XLA; ~9 MB total vs ~340 MB of one-hot
-    residuals).
+    compact routing state: slot positions ``pos (G, gs, E)`` and gates
+    ``(G, gs, 2)`` (~9 MB total vs ~340 MB of one-hot residuals). The
+    router ``probs (G, gs, E)`` tensor stays a backward residual; the
+    aux-loss statistics leave as in-kernel ``(1, E)`` sums.
   * **Queue positions via triangular matmul**: the per-group cumulative
     count that assigns capacity slots is ``L @ onehot`` with ``L`` the
     in-kernel lower-triangular ones matrix — an MXU matmul instead of the
@@ -199,11 +199,11 @@ def _dispatch_bwd_kernel(*refs, cfg: MoEDispatchCfg, gb: int,
                          with_dres: bool):
     if with_dres:
         (x_ref, s_ref, b_ref, wr_ref, p1_ref, p2_ref, probs_ref,
-         dxin_ref, dgates_ref, dprobs_ref, dpsum_ref, dres_ref,
+         dxin_ref, dgates_ref, dpsum_ref, dres_ref,
          dx_ref, ds_ref, db_ref, dwr_ref, dbr_ref) = refs
     else:
         (x_ref, s_ref, b_ref, wr_ref, p1_ref, p2_ref, probs_ref,
-         dxin_ref, dgates_ref, dprobs_ref, dpsum_ref,
+         dxin_ref, dgates_ref, dpsum_ref,
          dx_ref, ds_ref, db_ref, dwr_ref, dbr_ref) = refs
         dres_ref = None
 
@@ -238,8 +238,12 @@ def _dispatch_bwd_kernel(*refs, cfg: MoEDispatchCfg, gb: int,
 
     # gate cotangents -> router probs; dpsum is the cotangent of the
     # in-kernel per-expert prob sums (the aux-loss path) — uniform over
-    # rows, so it broadcasts straight into dprobs
-    dprobs_base = dprobs_ref[:].reshape(gb * gs, E) + dpsum_ref[:]
+    # rows, so it broadcasts straight into dprobs. probs itself is a
+    # backward RESIDUAL only, not a primal output (r5: exposing it as an
+    # output made every backward materialise and DMA a (G, gs, E) fp32
+    # zeros cotangent — ~4 MB/block/step of dead traffic at the
+    # production shape), so its only cotangent source is dpsum.
+    dprobs_base = jnp.broadcast_to(dpsum_ref[:], (gb * gs, E))
     dg = dgates_ref[:].reshape(gb * gs, 2)
     oh1 = (pos1 >= 0).astype(jnp.float32)
     if cfg.topk == 1:
@@ -284,13 +288,18 @@ def _dispatch_bwd_kernel(*refs, cfg: MoEDispatchCfg, gb: int,
     dx_ref[:] = dxv.astype(dx_ref.dtype)
 
 
-def _groups_per_block(cfg: MoEDispatchCfg, G: int, D: int) -> int:
+def _groups_per_block(cfg: MoEDispatchCfg, G: int, D: int,
+                      with_res: bool = True) -> int:
     """Routing groups handled per grid step. The per-group grid is
     latency/VPU-bound (~2 us of (gs, E)-shaped work a step); batching
     groups amortises it. Picks the largest power-of-two divisor of ``G``
     whose conservative VMEM estimate (fp32 row-block temporaries, the
     lane-padded routing tensors, the double-buffered xin window, the
-    triangular + one-hot blocks) fits the raised 32 MB scoped budget."""
+    triangular + one-hot blocks) fits the raised 32 MB scoped budget.
+    ``with_res`` charges the residual window + fp32 temp that only the
+    residual-carrying calls (combine_res, dispatch-bwd with dres)
+    actually hold — kernels without a residual operand keep the larger
+    gb where that term is the marginal one."""
     gs, E, cpad = cfg.gs, cfg.num_experts, cfg.cpad
     cb = jnp.dtype(cfg.cdt).itemsize
     for gb in (8, 4, 2, 1):
@@ -302,17 +311,18 @@ def _groups_per_block(cfg: MoEDispatchCfg, G: int, D: int) -> int:
             + 4 * E * gb * cpad * D * cb    # xin window, double-buffered
             + 4 * gs * (gs + E * cpad)      # tri + one-hot blocks
             + 12 * D * 128                  # wr window + LN vec residents
-            + 10 * gb * gs * D              # residual window + f32 temp
-        )                                   # (combine_res fwd)
-        if est < 20 * 1024 * 1024:
+            + (10 * gb * gs * D if with_res else 0)
+        )                                   # residual window + f32 temp
+        if est < 20 * 1024 * 1024:          # (combine_res fwd / bwd dres)
             return gb
     return 1
 
 
-def _dispatch_specs(cfg: MoEDispatchCfg, T: int, D: int):
+def _dispatch_specs(cfg: MoEDispatchCfg, T: int, D: int,
+                    with_res: bool = True):
     gs, E, cpad = cfg.gs, cfg.num_experts, cfg.cpad
     G = T // gs
-    gb = _groups_per_block(cfg, G, D)
+    gb = _groups_per_block(cfg, G, D, with_res=with_res)
     return dict(
         G=G, gb=gb,
         x=pl.BlockSpec((gb * gs, D), lambda g: (g, 0),
@@ -334,23 +344,32 @@ def moe_dispatch(cfg: MoEDispatchCfg, x, scale, bias, wr, br):
     """Fused LN2 + router + top-k capacity dispatch.
 
     ``x (T, D)`` pre-LN rows -> ``(xin (E, G*Cp, D) cdt, gates (G, gs, 2)
-    fp32, pos1/pos2 (G, gs, E) fp32, probs (G, gs, E) fp32, cnt (1, E)
-    fp32, psum (1, E) fp32)``. ``pos*`` are piecewise-constant routing
-    state (no gradient, matching the einsum path where one-hot
-    construction goes through int argmax/astype); ``gates`` and ``probs``
-    carry the router's differentiable paths. ``cnt``/``psum`` are the
-    Switch aux-loss statistics accumulated in-kernel (pre-capacity
-    first-choice counts and per-expert prob sums): ``cnt`` is
-    piecewise-constant, ``psum``'s cotangent broadcasts into dprobs
-    inside the backward kernel so the aux loss costs no (G, gs, E)
-    XLA math in either direction.
+    fp32, pos1/pos2 (G, gs, E) fp32, cnt (1, E) fp32, psum (1, E)
+    fp32)``. ``pos*`` are piecewise-constant routing state (no gradient,
+    matching the einsum path where one-hot construction goes through int
+    argmax/astype); ``gates`` carries the router's differentiable path.
+    ``cnt``/``psum`` are the Switch aux-loss statistics accumulated
+    in-kernel (pre-capacity first-choice counts and per-expert prob
+    sums): ``cnt`` is piecewise-constant, ``psum``'s cotangent broadcasts
+    into dprobs inside the backward kernel so the aux loss costs no
+    (G, gs, E) XLA math in either direction. The router ``probs`` tensor
+    is a backward RESIDUAL only, never a primal output — exposing it made
+    every backward materialise a (G, gs, E) fp32 zeros cotangent.
     """
-    return _dispatch_fwd_call(cfg, x, scale, bias, wr, br)
+    out, _ = _dispatch_fwd_split(_dispatch_fwd_call(
+        cfg, x, scale, bias, wr, br))
+    return out
+
+
+def _dispatch_fwd_split(kout):
+    """(primal outputs, probs residual) from the 7 kernel outputs."""
+    xin, gates, pos1, pos2, probs, cnt, psum = kout
+    return (xin, gates, pos1, pos2, cnt, psum), probs
 
 
 def _dispatch_fwd_call(cfg, x, scale, bias, wr, br):
     T, D = x.shape
-    sp = _dispatch_specs(cfg, T, D)
+    sp = _dispatch_specs(cfg, T, D, with_res=False)
     G, gs, E, cpad = sp["G"], cfg.gs, cfg.num_experts, cfg.cpad
     return _pallas_call(
         functools.partial(_dispatch_fwd_kernel, cfg=cfg, gb=sp["gb"]),
@@ -373,22 +392,23 @@ def _dispatch_fwd_call(cfg, x, scale, bias, wr, br):
 
 
 def _moe_dispatch_fwd(cfg, x, scale, bias, wr, br):
-    out = _dispatch_fwd_call(cfg, x, scale, bias, wr, br)
-    _, gates, pos1, pos2, probs = out[:5]
+    out, probs = _dispatch_fwd_split(
+        _dispatch_fwd_call(cfg, x, scale, bias, wr, br))
+    _, gates, pos1, pos2, _cnt, _psum = out
     return out, (x, scale, bias, wr, br, pos1, pos2, probs)
 
 
-def _dispatch_bwd_call(cfg, res, dxin, dgates, dprobs, dpsum, dres=None):
+def _dispatch_bwd_call(cfg, res, dxin, dgates, dpsum, dres=None):
     x, scale, bias, wr, br, pos1, pos2, probs = res
     T, D = x.shape
     E = cfg.num_experts
-    sp = _dispatch_specs(cfg, T, D)
+    sp = _dispatch_specs(cfg, T, D, with_res=dres is not None)
     in_specs = [sp["x"], sp["vecD"], sp["vecD"], sp["wr"],
                 sp["gE"], sp["gE"], sp["gE"],
-                sp["xin"], sp["g2"], sp["gE"], sp["vecE"]]
+                sp["xin"], sp["g2"], sp["vecE"]]
     operands = (x, scale.reshape(1, D), bias.reshape(1, D),
                 wr.astype(jnp.float32), pos1, pos2, probs,
-                dxin, dgates, dprobs,
+                dxin, dgates,
                 dpsum.reshape(1, E).astype(jnp.float32))
     if dres is not None:
         in_specs.append(sp["x"])
@@ -416,8 +436,8 @@ def _dispatch_bwd_call(cfg, res, dxin, dgates, dprobs, dpsum, dres=None):
 
 def _moe_dispatch_bwd(cfg, res, cts):
     # pos/cnt cotangents are meaningless (piecewise-constant outputs)
-    dxin, dgates, _dp1, _dp2, dprobs, _dcnt, dpsum = cts
-    return _dispatch_bwd_call(cfg, res, dxin, dgates, dprobs, dpsum)
+    dxin, dgates, _dp1, _dp2, _dcnt, dpsum = cts
+    return _dispatch_bwd_call(cfg, res, dxin, dgates, dpsum)
 
 
 moe_dispatch.defvjp(_moe_dispatch_fwd, _moe_dispatch_bwd)
@@ -436,19 +456,20 @@ def moe_dispatch_thru(cfg: MoEDispatchCfg, x, scale, bias, wr, br):
     charged ~0.31 ms/block to that ``add_any``). Only valid because the
     residual and the dispatch input are the same autodiff variable:
     summing their cotangents at ``dx`` is exactly the total gradient."""
-    return (*_dispatch_fwd_call(cfg, x, scale, bias, wr, br), x)
+    out, _ = _dispatch_fwd_split(
+        _dispatch_fwd_call(cfg, x, scale, bias, wr, br))
+    return (*out, x)
 
 
 def _moe_dispatch_thru_fwd(cfg, x, scale, bias, wr, br):
-    out = _dispatch_fwd_call(cfg, x, scale, bias, wr, br)
-    _, gates, pos1, pos2, probs = out[:5]
-    return (*out, x), (x, scale, bias, wr, br, pos1, pos2, probs)
+    out, res = _moe_dispatch_fwd(cfg, x, scale, bias, wr, br)
+    return (*out, x), res
 
 
 def _moe_dispatch_thru_bwd(cfg, res, cts):
-    dxin, dgates, _dp1, _dp2, dprobs, _dcnt, dpsum, dthru = cts
+    dxin, dgates, _dp1, _dp2, _dcnt, dpsum, dthru = cts
     x = res[0]
-    return _dispatch_bwd_call(cfg, res, dxin, dgates, dprobs, dpsum,
+    return _dispatch_bwd_call(cfg, res, dxin, dgates, dpsum,
                               dres=dthru.astype(x.dtype))
 
 
@@ -540,7 +561,7 @@ def moe_combine_res(cfg: MoEDispatchCfg, out, gates, pos1, pos2, res):
 def _combine_fwd_call(cfg, out, gates, pos1, pos2, res=None):
     E, S, D = out.shape
     G = S // cfg.cpad
-    sp = _dispatch_specs(cfg, G * cfg.gs, D)
+    sp = _dispatch_specs(cfg, G * cfg.gs, D, with_res=res is not None)
     in_specs = [sp["xin"], sp["g2"], sp["gE"], sp["gE"]]
     operands = (out, gates, pos1, pos2)
     if res is not None:
@@ -560,7 +581,7 @@ def _combine_fwd_call(cfg, out, gates, pos1, pos2, res=None):
 def _combine_bwd_call(cfg, out, gates, pos1, pos2, dpart):
     E, S, D = out.shape
     G = S // cfg.cpad
-    sp = _dispatch_specs(cfg, G * cfg.gs, D)
+    sp = _dispatch_specs(cfg, G * cfg.gs, D, with_res=False)
     return _pallas_call(
         functools.partial(_combine_bwd_kernel, cfg=cfg, gb=sp["gb"]),
         out_shape=(

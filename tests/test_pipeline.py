@@ -424,3 +424,93 @@ def test_pipelined_moe_aux_microbatched_close_and_differentiable():
     assert rk.shape[0] == pp  # (S, L, D, E) stacked router grads
     for s in range(pp):
         assert np.abs(rk[s]).max() > 0.0, f"stage {s} router grad is zero"
+
+
+def test_pp_sp_ep_train_step_matches_oracle():
+    """3-D composition with MoE: DP x PP x TP(+SP) where every block's
+    MLP is the SP+EP expert path — token-sharded routing and the
+    capacity-sliced all_to_all dispatch running INSIDE the pipeline
+    stage scan (expert weights stacked per stage and sharded over both
+    'pipe' and 'model'). Engaged two-axis clip; == manual full-model
+    oracle leaf-for-leaf over 2 steps. Routing groups (gs=8 = one
+    image's token shard) align across the microbatch split, the shard
+    split, and the oracle's global flatten, so the match is exact."""
+    from ddm_tpu.parallel import PIPE_AXIS, clip_by_global_norm_sharded
+    from ddm_tpu.parallel.mesh import MODEL_AXIS
+
+    kw = dict(
+        img_size=8, patch_size=2, embed_dim=32, depth=4, num_heads=2,
+        time_embed_dim=16, data_format="NHWC", tp=2,
+        moe_experts=4, moe_capacity=2.0, moe_group_size=8,
+    )
+    full = DDDMDiT(tp_axis=None, sequence_parallel=True, **kw)
+    local = DDDMDiT(tp_axis="model", sequence_parallel=True, **kw)
+    xt = jnp.zeros((2, 8, 8, 3))
+    params = full.init(jax.random.PRNGKey(0), xt, jnp.zeros((2,)), xt)
+
+    hp = dict(m=2, beta=0.1, lam=1.0, w_bias=0.0)
+    clip = 1e-3  # always engages at init grad norms
+    tok_transform = lambda x0: patchify_images(x0, 2)  # noqa: E731
+
+    mesh = make_pipe_mesh(pp=2, tp=2)
+    dp = mesh.shape["data"]
+
+    pipe_params = to_pipeline_params(jax.tree.map(jnp.copy, params), 2)
+    tx_pipe = optax.chain(
+        clip_by_global_norm_sharded(
+            clip, pipeline_tree_shardings(pipe_params, mesh),
+            (PIPE_AXIS, MODEL_AXIS)),
+        optax.adamw(1e-3),
+    )
+    state = TrainState.create(apply_fn=None, params=pipe_params, tx=tx_pipe)
+    state, shardings = place_train_state(
+        state, mesh, shardings=pipeline_tree_shardings(state, mesh)
+    )
+    apply = make_pipelined_apply(local, n_stages=2, n_microbatches=2)
+    step = make_sharded_train_step(
+        apply, mesh, shardings, dp_shard_map=True,
+        target_transform=tok_transform, **hp,
+    )
+
+    ref_state = TrainState.create(
+        apply_fn=None, params=jax.tree.map(jnp.copy, params),
+        tx=optax.chain(optax.clip_by_global_norm(clip), optax.adamw(1e-3)),
+    )
+    tok_apply = lambda p, a, b, c: full.apply(p, a, b, c, method="tokens")  # noqa: E731
+    loss_fn = make_loss_fn(tok_apply, target_transform=tok_transform, **hp)
+
+    key = jax.random.PRNGKey(31)
+    batch = jax.random.normal(jax.random.PRNGKey(32), (8, 8, 8, 3))
+
+    for i in range(2):
+        k = jax.random.fold_in(key, i)
+        state, metrics = step(state, k, shard_batch(batch, mesh))
+
+        shards = np.asarray(batch).reshape(dp, -1, 8, 8, 3)
+        grads_acc, losses = None, []
+        for d in range(dp):
+            kd = jax.random.fold_in(k, d)
+            (_, md), gd = jax.value_and_grad(loss_fn, has_aux=True)(
+                ref_state.params, kd, jnp.asarray(shards[d])
+            )
+            losses.append(float(md["loss"]))
+            grads_acc = gd if grads_acc is None else jax.tree.map(
+                jnp.add, grads_acc, gd
+            )
+        ref_state = ref_state.apply_gradients(
+            grads=jax.tree.map(lambda g: g / dp, grads_acc)
+        )
+        np.testing.assert_allclose(
+            float(metrics["loss"]), np.mean(losses), rtol=5e-5,
+            err_msg=f"loss mismatch at step {i}",
+        )
+
+    got = from_pipeline_params(jax.device_get(state.params))
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref_state.params),
+        jax.tree_util.tree_leaves_with_path(got),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(pa)}",
+        )
