@@ -222,6 +222,46 @@ def _partial_bwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, do_ref,
               None, residual=False)
 
 
+def _vmem_mb() -> int:
+    """Per-kernel scoped-vmem cap (MB) for this module's pallas_calls.
+
+    Mosaic's default check line is 16 MB, but v5e has 128 MB of VMEM and
+    ``CompilerParams(vmem_limit_bytes=...)`` raises the line per kernel
+    (``expert_ffn.py`` has shipped at 32 MB since r4). Bigger caps admit
+    bigger row blocks — fewer sequential grid steps. Measured on v5e
+    (tools/exp_vmem_blocks.py): the backward pays ~2.3 us/grid-step of
+    overhead, so rb 256 -> 1024 at the DiT-S shape is worth ~0.9 ms per
+    half-block invocation. ``DDM_TPU_MLP_VMEM_MB=16`` restores the
+    r4-and-earlier default-cap behaviour exactly.
+    """
+    import os
+
+    return int(os.environ.get("DDM_TPU_MLP_VMEM_MB", "16"))
+
+
+def _bwd_budget() -> int:
+    # 4 MB headroom under the cap: rb=512 at D=384/F=1536 under the 16 MB
+    # default compiled in SOME programs but hit 17.0/16.0 MB scoped-vmem in
+    # others (Mosaic stack allocation varies with surrounding-program
+    # layouts). The backward holds the most live state, so it keeps the
+    # widest margin.
+    return (_vmem_mb() - 4) * 1024 * 1024
+
+
+def _fwd_budget() -> int:
+    # forward kernels have far less live state: 1 MB headroom suffices
+    # (rb=512 forward measured clean everywhere under the 16 MB default).
+    return (_vmem_mb() - 1) * 1024 * 1024
+
+
+def _compiler_params():
+    """Raised scoped-vmem cap for pallas_call, or None at the default."""
+    mb = _vmem_mb()
+    if mb == 16:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
+
+
 def _row_block(T: int, D: int, F: int, fixed: Optional[int] = None) -> int:
     import os
 
@@ -230,21 +270,17 @@ def _row_block(T: int, D: int, F: int, fixed: Optional[int] = None) -> int:
         rb //= 2
     # Budget: fixed VMEM residents (both weight matrices bf16 + both fp32
     # grad accumulators in the backward kernel = 12*D*F bytes) plus the row
-    # block's activations must stay inside VMEM. The backward budget is
-    # 12 MB: rb=512 at D=384/F=1536 compiled in SOME programs but hit
-    # 17.0/16.0 MB scoped-vmem in others (Mosaic stack allocation varies
-    # with surrounding-program layouts); rb=256 compiles everywhere at
-    # +0.35 ms/kernel. The forward (weights-only `fixed`) keeps 15 MB —
-    # rb=512 measured fastest and has far less live state.
+    # block's activations must stay inside VMEM (budgets parameterised by
+    # the scoped-vmem cap — see _vmem_mb).
     #
-    # Escape hatch for programs that still trip Mosaic's 16 MB scoped-vmem
+    # Escape hatch for programs that still trip Mosaic's scoped-vmem
     # check (layout-dependent): DDM_TPU_MLP_ROW_BLOCK caps rb directly, so
     # a user hitting the compile error can drop to 256 without code edits.
     if fixed is None:
-        budget = 12 * 1024 * 1024
+        budget = _bwd_budget()
         fixed = 12 * D * F
     else:
-        budget = 15 * 1024 * 1024
+        budget = _fwd_budget()
     while rb > 8 and fixed + rb * (D * 8 + F * 8) > budget:
         rb //= 2
     cap = int(os.environ.get("DDM_TPU_MLP_ROW_BLOCK", "0"))
@@ -292,6 +328,7 @@ def _fused_fwd_call(x, scale, bias, w1, b1, w2, b2):
         in_specs=[sp["x"], sp["vecD"], sp["vecD"], sp["w1"], sp["vecF"],
                   sp["w2"], sp["vecD"]],
         out_specs=sp["x"],
+        compiler_params=_compiler_params(),
     )(x, scale.reshape(1, D), bias.reshape(1, D), w1.astype(x.dtype),
       b1.reshape(1, F), w2.astype(x.dtype), b2.reshape(1, D))
 
@@ -330,6 +367,7 @@ def _fused_bwd(res, do):
             pl.BlockSpec((F, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
+        compiler_params=_compiler_params(),
     )(x, scale.reshape(1, D), bias.reshape(1, D), w1.astype(x.dtype),
       b1.reshape(1, F), w2.astype(x.dtype), b2.reshape(1, D), do)
     dx, ds, db, dw1, db1, dw2, db2 = outs
@@ -353,7 +391,7 @@ def _mlp_kernel_ok(T: int, D: int, F: int) -> bool:
         # to T/8 sequential steps — the fwd-only tier (weights-only
         # residents, big row blocks) is strictly better there.
         and rb >= 64
-        and 12 * D * F + rb * (D * 8 + F * 8) < 15 * 1024 * 1024
+        and 12 * D * F + rb * (D * 8 + F * 8) < _bwd_budget() + 3 * 1024 * 1024
     )
 
 
@@ -364,7 +402,7 @@ def _mlp_fwd_kernel_ok(T: int, D: int, F: int) -> bool:
         and D % 128 == 0
         and F % 128 == 0
         and T % rb == 0
-        and _fwd_fixed(D, F) + rb * (D * 8 + F * 8) < 15 * 1024 * 1024
+        and _fwd_fixed(D, F) + rb * (D * 8 + F * 8) < _fwd_budget()
     )
 
 
@@ -545,6 +583,7 @@ def _fused_partial_fwd_call(x, scale, bias, w1, b1, w2):
         in_specs=[sp["x"], sp["vecD"], sp["vecD"], sp["w1"], sp["vecF"],
                   sp["w2"]],
         out_specs=out32,
+        compiler_params=_compiler_params(),
     )(x, scale.reshape(1, D), bias.reshape(1, D), w1.astype(x.dtype),
       b1.reshape(1, F), w2.astype(x.dtype))
 
@@ -578,6 +617,7 @@ def _fused_partial_bwd(res, do):
                   sp["w2"], do32],
         out_specs=(sp["x"], const((1, D)), const((1, D)), const((D, F)),
                    const((1, F)), const((F, D))),
+        compiler_params=_compiler_params(),
     )(x, scale.reshape(1, D), bias.reshape(1, D), w1.astype(x.dtype),
       b1.reshape(1, F), w2.astype(x.dtype), do.astype(jnp.float32))
     dx, ds, db, dw1, db1, dw2 = outs
